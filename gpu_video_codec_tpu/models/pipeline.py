@@ -1,0 +1,99 @@
+"""Frame deblocking pipeline: the framework's execution-driver layer.
+
+Replaces the reference's ExecuteCpu / ExecuteGpu drivers (main.cu:36-83,
+gpu.cu:1230-1306) with a backend-dispatching pipeline object:
+
+  backend="jnp"    whole-frame tile-plane deblock under jax.jit (XLA fuses
+                   the elementwise phases); correctness anchor on any device
+  backend="pallas" fused Pallas TPU kernel fast path (ops/pallas_kernel.py)
+  backend="golden" scalar NumPy oracle (models/golden.py)
+  backend="native" C++ OpenMP CPU runtime (runtime/native.py), the analogue
+                   of the reference's ExecuteCpu path
+
+BS segment maps are precomputed host-side once per (geometry, BS) pair --
+they are frame-rate-invariant metadata, unlike the reference which re-reads
+flat BS entries per tile per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.deblock import deblock_frame
+from ..ops.tables import get_beta, get_tc
+from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
+from ..utils.yuv import FramePlanes
+
+
+@functools.partial(jax.jit, static_argnames=("luma_only",))
+def _deblock_jit(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only):
+    # beta/tc are traced int32 scalars so a QP change never recompiles
+    return deblock_frame(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=luma_only)
+
+
+class DeblockPipeline:
+    """Deblock frames of a fixed geometry/QP with a chosen execution backend."""
+
+    def __init__(self, width: int, height: int, qp: int,
+                 luma_only: bool = False, backend: str = "jnp",
+                 bs: BoundaryStrength | None = None):
+        self.width = width
+        self.height = height
+        self.qp = int(qp)
+        self.beta = get_beta(qp)
+        self.tc = get_tc(qp)
+        self.luma_only = luma_only
+        self.backend = backend
+        self.set_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
+
+    def set_boundary_strength(self, bs: BoundaryStrength) -> None:
+        """Install BS arrays and precompute per-segment (By, Bx) gate maps."""
+        if (bs.width, bs.height) != (self.width, self.height):
+            raise ValueError("BoundaryStrength geometry mismatch")
+        self.bs = bs
+        self.luma_maps = tuple(np.asarray(m) for m in luma_segment_maps(bs))
+        self.chroma_maps = tuple(np.asarray(m) for m in chroma_segment_maps(bs))
+
+    # -- backends ----------------------------------------------------------
+
+    def _run_jnp(self, frame: FramePlanes) -> FramePlanes:
+        y, u, v = _deblock_jit(
+            jnp.asarray(frame.y), jnp.asarray(frame.u), jnp.asarray(frame.v),
+            self.luma_maps, self.chroma_maps,
+            jnp.int32(self.beta), jnp.int32(self.tc), self.luma_only,
+        )
+        return FramePlanes(np.asarray(y), np.asarray(u), np.asarray(v),
+                           frame.width, frame.height)
+
+    def _run_pallas(self, frame: FramePlanes) -> FramePlanes:
+        from ..ops.pallas_kernel import deblock_frame_pallas_jit
+
+        y, u, v = deblock_frame_pallas_jit(
+            jnp.asarray(frame.y), jnp.asarray(frame.u), jnp.asarray(frame.v),
+            self.luma_maps, self.chroma_maps,
+            jnp.int32(self.beta), jnp.int32(self.tc), self.luma_only,
+        )
+        return FramePlanes(np.asarray(y), np.asarray(u), np.asarray(v),
+                           frame.width, frame.height)
+
+    def _run_golden(self, frame: FramePlanes) -> FramePlanes:
+        from .golden import deblock_frame_golden
+
+        return deblock_frame_golden(frame, self.bs, self.qp, luma_only=self.luma_only)
+
+    def _run_native(self, frame: FramePlanes) -> FramePlanes:
+        from ..runtime.native import deblock_frame_native
+
+        return deblock_frame_native(frame, self.bs, self.qp, luma_only=self.luma_only)
+
+    def __call__(self, frame: FramePlanes) -> FramePlanes:
+        if (frame.width, frame.height) != (self.width, self.height):
+            raise ValueError("frame geometry mismatch")
+        runner = getattr(self, f"_run_{self.backend}", None)
+        if runner is None:
+            raise ValueError(f"unknown backend {self.backend!r}")
+        return runner(frame)
