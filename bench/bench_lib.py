@@ -1,0 +1,147 @@
+"""Benchmark harness: reproduces the reference README's timing table
+(kernel-only vs with-copy, per backend/thread-count) in TPU-native terms,
+plus the BASELINE.json headline configs.
+
+Reference parity: ExecuteCpu's 1/2/4/6/8-thread sweep (main.cu:36-83) maps to
+the native C++ backend timing; ExecuteGpu's copy/kernel/total split
+(gpu.cu:1246-1303) maps to StreamingDeblocker.time_breakdown; GetGpuDeviceInfo
+(main.cu:92-107) maps to device_info().
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
+from gpu_video_codec_tpu.utils.yuv import FramePlanes, extend_plane
+
+# Reference numbers (BASELINE.md, derived from README.md of the reference):
+# best kernel-only GPU throughput (pinned host memory) and best end-to-end.
+REF_KERNEL_MPIX_S = 744.0
+REF_E2E_MPIX_S = 119.0
+NORTH_STAR_MPIX_S = 2000.0  # >= 2 Gpix/s/chip at 1080p (BASELINE.json)
+
+
+def device_info() -> dict:
+    d = jax.devices()[0]
+    return {
+        "backend": jax.default_backend(),
+        "device": str(d),
+        "platform": d.platform,
+        "device_kind": getattr(d, "device_kind", "?"),
+        "num_devices": len(jax.devices()),
+    }
+
+
+def synthetic_frame(width: int, height: int, seed: int = 0) -> FramePlanes:
+    """A smooth-ish synthetic frame (gradients + noise) so both strong and
+    normal filter paths stay active at QP 35."""
+    rng = np.random.default_rng(seed)
+    yy = (
+        np.arange(height)[:, None] * 3 + np.arange(width)[None, :] * 2
+        + rng.integers(-6, 7, (height, width))
+    ) % 256
+    uu = (np.arange(height // 2)[:, None] + rng.integers(-4, 5, (height // 2, width // 2))) % 256
+    vv = (np.arange(width // 2)[None, :] + rng.integers(-4, 5, (height // 2, width // 2))) % 256
+    return FramePlanes(
+        extend_plane(yy.astype(np.uint8)),
+        extend_plane(uu.astype(np.uint8)),
+        extend_plane(vv.astype(np.uint8)),
+        width, height,
+    )
+
+
+def packed_yv12(frame: FramePlanes) -> np.ndarray:
+    from gpu_video_codec_tpu.utils.yuv import yv12_bytes_from_planes
+
+    return np.frombuffer(yv12_bytes_from_planes(frame), np.uint8)
+
+
+def bench_1080p(backend: str = "pallas", n_frames: int = 50, qp: int = 35) -> dict:
+    """BASELINE config 4: 1080p YV12 stream with copy-overlap pipeline."""
+    w, h = 1920, 1080
+    raw = packed_yv12(synthetic_frame(w, h))
+    s = StreamingDeblocker(w, h, qp, backend=backend)
+    tb = s.time_breakdown(raw)
+    pipelined = s.throughput(raw, n_frames=n_frames, readback=False)
+    luma_px = w * h
+    return {
+        "config": f"1080p YV12 luma+chroma, backend={backend}",
+        "kernel_us": tb["kernel_s"] * 1e6,
+        "h2d_us": tb["h2d_s"] * 1e6,
+        "kernel_mpix_s": luma_px / tb["kernel_s"] / 1e6,
+        "pipelined_mpix_s": pipelined["mpix_per_s"],
+        "pipelined_fps": pipelined["fps"],
+    }
+
+
+def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 100) -> dict:
+    """BASELINE config 3: batched CIF sequence through the fused single-pass
+    kernel (frames folded into the tile grid as extra rows)."""
+    import jax.numpy as jnp
+
+    from gpu_video_codec_tpu.models.pipeline import _deblock_jit
+    from gpu_video_codec_tpu.ops.pallas_kernel import deblock_frame_pallas_jit
+    from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
+    from gpu_video_codec_tpu.utils.bs import (
+        BoundaryStrength, chroma_segment_maps, luma_segment_maps,
+    )
+
+    w, h = 352, 288
+    frame = synthetic_frame(w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    lm = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
+    cm = tuple(jnp.asarray(m) for m in chroma_segment_maps(bs))
+    beta, tc = jnp.int32(get_beta(35)), jnp.int32(get_tc(35))
+    # a batch = one taller frame stack: concat along rows (tile-aligned, exact)
+    y = jnp.asarray(np.concatenate([frame.y] * batch, axis=0))
+    u = jnp.asarray(np.concatenate([frame.u] * batch, axis=0))
+    v = jnp.asarray(np.concatenate([frame.v] * batch, axis=0))
+    lmb = tuple(jnp.concatenate([m] * batch, axis=0) for m in lm)
+    cmb = tuple(jnp.concatenate([m] * batch, axis=0) for m in cm)
+
+    fn = deblock_frame_pallas_jit if backend == "pallas" else _deblock_jit
+    out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    mpix = batch * w * h / dt / 1e6
+    return {
+        "config": f"batched {batch}x CIF, backend={backend}",
+        "batch_us": dt * 1e6,
+        "mpix_s": mpix,
+        "frame_us": dt * 1e6 / batch,
+    }
+
+
+def headline(n_frames: int = 50) -> dict:
+    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12."""
+    r = bench_1080p(backend="pallas", n_frames=n_frames)
+    value = r["pipelined_mpix_s"]
+    return {
+        "metric": "filtered Mpix/s/chip at 1080p YV12 (luma px, copy-overlap pipeline)",
+        "value": round(value, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
+        "details": {
+            **{k: round(v, 2) if isinstance(v, float) else v for k, v in r.items()},
+            "reference_best_kernel_mpix_s": REF_KERNEL_MPIX_S,
+            "reference_best_e2e_mpix_s": REF_E2E_MPIX_S,
+            "north_star_mpix_s": NORTH_STAR_MPIX_S,
+            "device": device_info(),
+        },
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(headline()))

@@ -1,0 +1,189 @@
+"""Streaming YV12 pipeline with host->HBM copy overlap.
+
+The reference's perf-engineering centerpiece is pinned host memory cutting
+synchronous cudaMemcpy time (gpu.cu:1103-1114, 1248-1256; README rows) --
+yet its copies still serialize with the kernel and dominate end-to-end time
+5:1 even pinned.  The TPU-native equivalent:
+
+* ONE host->HBM DMA per frame, of the raw packed YV12 buffer (3*w*h/2 bytes,
+  the minimal transfer) -- plane splitting, extension padding, tile-plane
+  layout all happen on device where they run at HBM bandwidth;
+* JAX's asynchronous dispatch pipelines the DMA of frame i+1 under the
+  kernel of frame i (`depth` frames in flight), so steady state is
+  max(copy, compute) instead of copy + compute;
+* readback (when the consumer is the host) is a single device->host DMA of
+  the repacked YV12 output.
+
+Reference parity map: ExecuteGpu's alloc/copy/launch/copy/save sequence
+(gpu.cu:1230-1306) becomes StreamingDeblocker.run(); pinned-memory copies
+become overlap-by-async-dispatch; the copy-vs-kernel timing split
+(gpu.cu:1246-1303) is exposed via time_breakdown().
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from collections.abc import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_kernel import deblock_frame_pallas
+from ..ops.deblock import deblock_frame
+from ..ops.tables import HALF_BLOCK, get_beta, get_tc
+from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
+from ..utils.yuv import FramePlanes
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "luma_only", "backend"))
+def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend):
+    """Device-side: packed YV12 uint8 (3wh/2,) -> filtered packed YV12."""
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    y = buf[: w * h].reshape(h, w)
+    u = buf[w * h : w * h + cw * ch].reshape(ch, cw)
+    v = buf[w * h + cw * ch :].reshape(ch, cw)
+    y, u, v = (jnp.pad(t, p) for t in (y, u, v))  # extended planes, zero pad
+    if backend == "pallas":
+        ye, ue, ve = deblock_frame_pallas(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
+    else:
+        ye, ue, ve = deblock_frame(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
+    return jnp.concatenate([
+        ye[p : p + h, p : p + w].ravel(),
+        ue[p : p + ch, p : p + cw].ravel(),
+        ve[p : p + ch, p : p + cw].ravel(),
+    ])
+
+
+class StreamingDeblocker:
+    """Deblocks a stream of same-geometry raw YV12 frames with copy/compute
+    overlap.  Frames are 1-D uint8 arrays of size 3*w*h/2 (or bytes).
+
+    depth: frames in flight (2 = classic double buffering).
+    backend: "pallas" (fused kernel) or "jnp" (XLA path).
+    """
+
+    def __init__(self, width: int, height: int, qp: int, *,
+                 backend: str = "pallas", luma_only: bool = False,
+                 depth: int = 2, bs: BoundaryStrength | None = None):
+        if backend not in ("pallas", "jnp"):
+            raise ValueError(f"streaming backend must be 'pallas' or 'jnp', got {backend!r}")
+        self.width, self.height, self.qp = width, height, int(qp)
+        self.depth = max(1, depth)
+        self.frame_bytes = 3 * width * height // 2
+        bs = bs or BoundaryStrength.intra_default(width, height)
+        self._lm = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
+        self._cm = tuple(jnp.asarray(m) for m in chroma_segment_maps(bs))
+        self._beta = jnp.int32(get_beta(qp))
+        self._tc = jnp.int32(get_tc(qp))
+        self._luma_only = luma_only
+        self._backend = backend
+
+    def _step(self, dev_buf):
+        return _deblock_yv12_packed(
+            dev_buf, self._lm, self._cm, self._beta, self._tc,
+            w=self.width, h=self.height,
+            luma_only=self._luma_only, backend=self._backend,
+        )
+
+    def _put(self, frame) -> jax.Array:
+        arr = np.frombuffer(frame, np.uint8) if isinstance(frame, (bytes, bytearray)) else np.asarray(frame, np.uint8).ravel()
+        if arr.size != self.frame_bytes:
+            raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
+        return jax.device_put(arr)  # async host->HBM DMA
+
+    def run(self, frames: Iterable) -> Iterator[np.ndarray]:
+        """Yield filtered packed YV12 frames (np.uint8).  H2D(i+1), kernel(i)
+        and D2H(i-depth) overlap through the async dispatch queue."""
+        inflight: deque = deque()
+        for frame in frames:
+            inflight.append(self._step(self._put(frame)))
+            if len(inflight) > self.depth:
+                yield jax.device_get(inflight.popleft())
+        while inflight:
+            yield jax.device_get(inflight.popleft())
+
+    def run_frames(self, frames: Iterable[FramePlanes]) -> Iterator[FramePlanes]:
+        """FramePlanes convenience wrapper around run()."""
+        from ..utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
+        packed = (np.frombuffer(yv12_bytes_from_planes(f), np.uint8) for f in frames)
+        for out in self.run(packed):
+            yield planes_from_yv12_bytes(out, self.width, self.height)
+
+    # -- measurement ---------------------------------------------------------
+
+    def throughput(self, frame, n_frames: int = 100, readback: bool = False,
+                   repeats: int = 3) -> dict:
+        """Steady-state pipelined throughput over n_frames copies of `frame`.
+
+        readback=False measures the host->HBM->filter rate (outputs stay in
+        HBM for a downstream on-device consumer); readback=True drains every
+        output back to the host (full YV12 in/out loop).
+        """
+        arr = np.asarray(frame, np.uint8).ravel()
+        out = self._step(self._put(arr))
+        jax.block_until_ready(out)  # compile warm-up
+
+        def one_batch() -> float:
+            t0 = time.perf_counter()
+            if readback:
+                for _ in self.run(arr for _ in range(n_frames)):
+                    pass
+            else:
+                last = None
+                for _ in range(n_frames):
+                    last = self._step(self._put(arr))
+                jax.block_until_ready(last)
+            return time.perf_counter() - t0
+
+        # best of `repeats` short batches: robust against the shared-tunnel
+        # bandwidth variance of the dev environment
+        dt = min(one_batch() for _ in range(repeats)) / n_frames
+        luma_px = self.width * self.height
+        return {
+            "frames": n_frames,
+            "per_frame_s": dt,
+            "fps": 1.0 / dt,
+            "mpix_per_s": luma_px / dt / 1e6,
+            "readback": readback,
+        }
+
+    def time_breakdown(self, frame, n: int = 30, measure_d2h: bool = False) -> dict:
+        """Per-frame latency split: H2D copy vs kernel (the reference's
+        'with copy'/'without copy' table, gpu.cu:1292-1303).
+
+        measure_d2h adds a synchronous end-to-end (put -> filter -> get)
+        measurement.  Off by default: the development environment's TPU
+        tunnel has highly variable device->host bandwidth (observed from
+        30 MB/s down to ~10 KB/s) that says nothing about the pipeline; on
+        directly-attached hardware it is a fair number to report.
+        """
+        arr = np.asarray(frame, np.uint8).ravel()
+        dev = self._put(arr)
+        out = self._step(dev)
+        jax.block_until_ready(out)
+
+        t0 = time.perf_counter()
+        for _ in range(n):
+            d = self._put(arr)
+        jax.block_until_ready(d)
+        h2d = (time.perf_counter() - t0) / n
+
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = self._step(dev)
+        jax.block_until_ready(out)
+        kernel = (time.perf_counter() - t0) / n
+
+        res = {"h2d_s": h2d, "kernel_s": kernel}
+        if measure_d2h:
+            reps = max(1, n // 10)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                jax.device_get(self._step(self._put(arr)))
+            res["e2e_sync_s"] = (time.perf_counter() - t0) / reps
+        return res

@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .filters import chroma_edge_filter, luma_edge_filter
-from ..utils.tiles import plane_to_tiles, tiles_to_plane
+from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
 
 # (p_coords, q_coords) per phase; entries are (tile_row, tile_col) as a
 # function of filter row r and edge distance j.
@@ -73,6 +73,19 @@ def _apply_phase(planes, phase, bs_mask, beta, tc, chroma):
             planes[qr][qc] = new_q[r, j]
 
 
+def deblock_planes_core(planes, bs_maps, beta, tc, chroma=False):
+    """Core four-phase sweep on an 8x8 list-of-lists of (*B) int32 planes.
+
+    Mutates and returns `planes`.  Shared verbatim between the XLA path
+    (deblock_tiles) and the fused Pallas kernel (ops/pallas_kernel.py), so
+    the two are bit-identical by construction.
+    """
+    bs_gate = (lambda m: m == 2) if chroma else (lambda m: m > 0)
+    for phase, bs in zip(_PHASE_ORDER, bs_maps):
+        _apply_phase(planes, phase, bs_gate(bs), beta, tc, chroma)
+    return planes
+
+
 def deblock_tiles(tiles, bs_ver1, bs_ver2, bs_hor1, bs_hor2, beta, tc, chroma=False):
     """Deblock a tile-planes tensor.
 
@@ -84,12 +97,7 @@ def deblock_tiles(tiles, bs_ver1, bs_ver2, bs_hor1, bs_hor2, beta, tc, chroma=Fa
     dtype = tiles.dtype
     t32 = tiles.astype(jnp.int32)
     planes = [[t32[r, c] for c in range(8)] for r in range(8)]
-    if chroma:
-        masks = {ph: m == 2 for ph, m in zip(_PHASE_ORDER, (bs_ver1, bs_ver2, bs_hor1, bs_hor2))}
-    else:
-        masks = {ph: m > 0 for ph, m in zip(_PHASE_ORDER, (bs_ver1, bs_ver2, bs_hor1, bs_hor2))}
-    for phase in _PHASE_ORDER:
-        _apply_phase(planes, phase, masks[phase], beta, tc, chroma)
+    deblock_planes_core(planes, (bs_ver1, bs_ver2, bs_hor1, bs_hor2), beta, tc, chroma)
     return jnp.stack([jnp.stack(row) for row in planes]).astype(dtype)
 
 
@@ -98,7 +106,11 @@ def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False):
 
     Leading batch axes (e.g. the stacked {U, V} pair, or a frame batch) are
     folded into the tile-grid batch; BS maps broadcast across them.
+    Extended dims that are not multiples of 8 (possible for chroma, e.g.
+    1080p) are handled per the reference's truncating tile counts: the
+    uncovered padding remainder passes through untouched.
     """
+    ext_plane, paste = split_covered(ext_plane)
     tiles = plane_to_tiles(ext_plane)  # (*lead, 8, 8, By, Bx)
     nlead = tiles.ndim - 4
     if nlead:
@@ -109,7 +121,7 @@ def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False):
     if nlead:
         inv = (*range(2, 2 + nlead), 0, 1, nlead + 2, nlead + 3)
         out = out.transpose(inv)
-    return tiles_to_plane(out)
+    return paste(tiles_to_plane(out), jnp)
 
 
 def deblock_frame(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc, luma_only=False):

@@ -1,0 +1,156 @@
+"""Fused Pallas TPU kernel: the flagship native compute component.
+
+Replaces the reference's CUDA kernels (DeblockingFilterLumaKernel
+gpu.cu:535-837, DeblockingFilterChromaKernel gpu.cu:839-1072, one thread per
+8x8 tile) with a single fused kernel per plane that performs ALL four edge
+phases -- vertical and horizontal, decision and filter, strong and normal --
+in one sweep while the tiles stay resident in VMEM.  The reference needed
+three kernel launches (luma, U, V) with every tile re-read from DRAM per
+launch; here each tile makes exactly one HBM->VMEM->HBM round trip.
+
+TPU mapping: input is the tile-planes tensor (8, 8, By, Bx) (utils/tiles.py).
+A grid cell processes a (8, 8, BLOCK_BY, BLOCK_BX) block == BLOCK_BY*BLOCK_BX
+tiles; the trailing (BLOCK_BY, BLOCK_BX) = (8, 128) axes map straight onto
+the VPU's 8x128 vector registers, so every one of the ~400 int32 ops in the
+filter runs on 1024 tiles at once.  This sidesteps the "8x8 tile vs 8x128
+lane" mismatch called out in SURVEY.md section 7: lanes index *tiles*, not
+pixels.
+
+Bit-exactness: the kernel body calls ops.deblock.deblock_planes_core -- the
+same code the XLA path runs -- so the two paths are identical by
+construction; tests/test_pallas.py asserts it anyway.
+
+Tail handling (quirk Q5 done right): the tile grid is zero-padded up to block
+multiples with BS = 0, making padding tiles exact no-ops (the CUDA original
+instead launched a rounded-up grid with no bounds check and read OOB).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deblock import deblock_planes_core
+from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
+
+# (sublane, lane) block over the tile grid: 8 x 128 tiles per grid cell.
+BLOCK_BY = 8
+BLOCK_BX = 128
+
+
+def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *, chroma):
+    beta = beta_ref[0]
+    tc = tc_ref[0]
+    planes = [[t_ref[r, c].astype(jnp.int32) for c in range(8)] for r in range(8)]
+    bs_maps = tuple(ref[...].astype(jnp.int32) for ref in (v1_ref, v2_ref, h1_ref, h2_ref))
+    deblock_planes_core(planes, bs_maps, beta, tc, chroma)
+    for r in range(8):
+        for c in range(8):
+            out_ref[r, c] = planes[r][c].astype(out_ref.dtype)
+
+
+def _pad_to(x, by, bx):
+    """Zero-pad the trailing (By, Bx) axes up to multiples of (by, bx)."""
+    pb = (-x.shape[-2]) % by
+    px = (-x.shape[-1]) % bx
+    if pb == 0 and px == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, pb), (0, px)]
+    return jnp.pad(x, pad)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chroma", "block_by", "block_bx", "interpret")
+)
+def deblock_tiles_pallas(
+    tiles,
+    bs_ver1,
+    bs_ver2,
+    bs_hor1,
+    bs_hor2,
+    beta,
+    tc,
+    chroma: bool = False,
+    block_by: int = BLOCK_BY,
+    block_bx: int = BLOCK_BX,
+    interpret: bool | None = None,
+):
+    """Fused deblock of a (8, 8, By, Bx) uint8 tile tensor on TPU.
+
+    bs_*: (By, Bx) uint8 segment BS maps.  beta/tc: int32 scalars.
+    interpret: force Pallas interpreter mode (auto: on when not on a TPU,
+    so CPU tests exercise the same kernel code).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    by, bx = tiles.shape[-2], tiles.shape[-1]
+    t = _pad_to(tiles, block_by, block_bx)
+    maps = [_pad_to(m, block_by, block_bx) for m in (bs_ver1, bs_ver2, bs_hor1, bs_hor2)]
+    pby, pbx = t.shape[-2], t.shape[-1]
+    grid = (pby // block_by, pbx // block_bx)
+
+    tile_spec = pl.BlockSpec(
+        (8, 8, block_by, block_bx), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM
+    )
+    map_spec = pl.BlockSpec(
+        (block_by, block_bx), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, chroma=chroma),
+        out_shape=jax.ShapeDtypeStruct(t.shape, t.dtype),
+        grid=grid,
+        in_specs=[scalar_spec, scalar_spec, tile_spec] + [map_spec] * 4,
+        out_specs=tile_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(beta, jnp.int32).reshape(1),
+        jnp.asarray(tc, jnp.int32).reshape(1),
+        t,
+        *maps,
+    )
+    return out[..., :by, :bx]
+
+
+def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
+                         luma_only=False, interpret=None):
+    """Full-frame deblock via the fused Pallas kernel.
+
+    Luma runs as one kernel call; U and V fold into a single chroma call by
+    concatenating their tile grids along the By axis (tiles are independent,
+    so any tile-aligned packing is exact) -- 2 launches per frame vs the
+    reference's 3 (gpu.cu:1269-1285).
+    """
+    yt = plane_to_tiles(y_ext)
+    y_out = deblock_tiles_pallas(yt, *luma_maps, beta, tc, chroma=False, interpret=interpret)
+    y_plane = tiles_to_plane(y_out)
+    if luma_only:
+        return y_plane, u_ext, v_ext
+
+    # chroma extended dims may not be 8-multiples (e.g. 1080p): the reference's
+    # truncating tile counts leave a pure-padding remainder outside the sweep
+    u_core, u_paste = split_covered(u_ext)
+    v_core, v_paste = split_covered(v_ext)
+    ut = plane_to_tiles(u_core)
+    vt = plane_to_tiles(v_core)
+    uv = jnp.concatenate([ut, vt], axis=2)  # stack tile grids along By
+    cmaps = [jnp.concatenate([m, m], axis=0) for m in chroma_maps]
+    uv_out = deblock_tiles_pallas(uv, *cmaps, beta, tc, chroma=True, interpret=interpret)
+    cby = ut.shape[2]
+    u_plane = u_paste(tiles_to_plane(uv_out[:, :, :cby]), jnp)
+    v_plane = v_paste(tiles_to_plane(uv_out[:, :, cby:]), jnp)
+    return y_plane, u_plane, v_plane
+
+
+@functools.partial(jax.jit, static_argnames=("luma_only",))
+def deblock_frame_pallas_jit(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=False):
+    return deblock_frame_pallas(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=luma_only)

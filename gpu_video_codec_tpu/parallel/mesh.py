@@ -1,0 +1,143 @@
+"""Device-mesh parallelism: multi-stream / batched deblocking via shard_map.
+
+The reference's only parallelism is intra-node (OpenMP over tile columns,
+cpu.h:145; one CUDA thread per tile, gpu.cu:540-545) on a single device.
+The TPU-native scaling story exploits the same property that made those
+race-free -- every tile is independent -- so distribution is pure data
+parallelism with ZERO collectives:
+
+  * axis "data":    frames of a batch / concurrent streams across chips
+  * axis "spatial": tile-row slabs of each frame across chips (a single 4K
+                    frame can be split row-wise; slabs are tile-aligned and
+                    exact, no halo exchange is ever needed)
+
+Geometry never has to divide the mesh: the tile grid is padded with no-op
+tiles (zero pixels, BS = 0 -- exact identities) up to the spatial axis size,
+then unpadded.  Chroma planes additionally carry their truncated-remainder
+padding (utils/tiles.covered_extent).
+
+Communication cost: the only inter-chip traffic is the initial shard scatter
+and final gather done by jit's sharding machinery over ICI; steady-state
+filtering is fully local, which is the optimum for this workload (SURVEY.md
+section 2, parallelism checklist).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.deblock import deblock_frame
+from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B  # re-exported constant
+
+
+def make_mesh(n_data: int, n_spatial: int, devices=None) -> Mesh:
+    """Build a ("data", "spatial") mesh from the first n_data*n_spatial devices."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_data * n_spatial
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def default_mesh_shape(n_devices: int) -> tuple[int, int]:
+    """Split n devices into (data, spatial): largest power-of-two data axis
+    that still leaves >= 2-way spatial sharding when possible."""
+    if n_devices <= 1:
+        return 1, 1
+    n_data = 2 ** int(math.log2(n_devices) // 2) if (n_devices & (n_devices - 1)) == 0 else 1
+    while n_devices % n_data:
+        n_data //= 2
+    return n_data, n_devices // n_data
+
+
+def _pad_rows_to(plane_batch, maps, mult: int):
+    """Pad tile-grid rows of (N, Hext, Wext) planes (and their (By, Bx) BS
+    maps) with no-op tiles so By % mult == 0.  Returns (planes, maps, by)."""
+    h = plane_batch.shape[-2]
+    by = h // _B
+    pad_tiles = (-by) % mult
+    if pad_tiles:
+        plane_batch = jnp.pad(plane_batch, ((0, 0), (0, pad_tiles * _B), (0, 0)))
+        maps = tuple(jnp.pad(jnp.asarray(m), ((0, pad_tiles), (0, 0))) for m in maps)
+    return plane_batch, maps, by
+
+
+def deblock_batch_sharded(
+    mesh: Mesh,
+    y_batch,
+    u_batch,
+    v_batch,
+    luma_maps,
+    chroma_maps,
+    beta,
+    tc,
+    luma_only: bool = False,
+):
+    """Deblock a batch of frames sharded over a ("data", "spatial") mesh.
+
+    y_batch: (N, Hext, Wext) uint8; u/v: (N, cHext, cWext).  N must divide by
+    the data axis; tile rows are padded to the spatial axis automatically.
+    Returns filtered (y, u, v) batches with the original shapes.
+    """
+    n_data = mesh.shape["data"]
+    n_sp = mesh.shape["spatial"]
+    if y_batch.shape[0] % n_data:
+        raise ValueError(
+            f"batch {y_batch.shape[0]} not divisible by data axis {n_data}"
+        )
+
+    # chroma planes may have a truncated remainder (not 8-multiple); keep the
+    # core only for sharding and paste the zero remainder back at the end.
+    ch, cw = u_batch.shape[-2] - u_batch.shape[-2] % _B, u_batch.shape[-1] - u_batch.shape[-1] % _B
+    u_core, v_core = u_batch[..., :ch, :cw], v_batch[..., :ch, :cw]
+
+    y_p, lmaps, by = _pad_rows_to(y_batch, luma_maps, n_sp)
+    u_p, cmaps, cby = _pad_rows_to(u_core, chroma_maps, n_sp)
+    v_p, _, _ = _pad_rows_to(v_core, chroma_maps, n_sp)
+
+    plane_spec = P("data", "spatial", None)
+    map_spec = P("spatial", None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(plane_spec, plane_spec, plane_spec,
+                  (map_spec,) * 4, (map_spec,) * 4, P(), P()),
+        out_specs=(plane_spec, plane_spec, plane_spec),
+    )
+    def _local(y, u, v, lm, cm, b, t):
+        # each device deblocks its own tile-aligned slab; tiles are
+        # self-contained so no halo/collective is needed
+        return deblock_frame(y, u, v, lm, cm, b, t, luma_only=luma_only)
+
+    yo, uo, vo = _local(
+        y_p, u_p, v_p, tuple(jnp.asarray(m) for m in lmaps),
+        tuple(jnp.asarray(m) for m in cmaps),
+        jnp.int32(beta), jnp.int32(tc),
+    )
+    yo = yo[:, : by * _B]
+    uo, vo = uo[:, : cby * _B], vo[:, : cby * _B]
+    if ch != u_batch.shape[-2] or cw != u_batch.shape[-1]:
+        uo = _paste_remainder(uo, u_batch, ch, cw)
+        vo = _paste_remainder(vo, v_batch, ch, cw)
+    return yo, uo, vo
+
+
+def _paste_remainder(core, full, ch, cw):
+    rows = jnp.concatenate([core, full[..., ch:, :cw]], axis=-2)
+    return jnp.concatenate([rows, full[..., :, cw:]], axis=-1)
+
+
+def deblock_batch_sharded_jit(mesh, *args, luma_only=False):
+    """jit-wrapped sharded batch deblock (compiles once per geometry)."""
+    fn = jax.jit(
+        functools.partial(deblock_batch_sharded, mesh, luma_only=luma_only)
+    )
+    return fn(*args)

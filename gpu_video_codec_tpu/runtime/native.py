@@ -1,0 +1,122 @@
+"""ctypes bindings for the native C++ runtime (libgvct_runtime.so).
+
+Builds the shared library on first use if the source is newer than the
+binary (no pybind11 in this environment; plain C ABI + ctypes keeps the
+dependency surface at zero).  All entry points raise NativeRuntimeError
+with a clear message when the toolchain is unavailable, and the rest of the
+framework falls back to the NumPy golden / JAX paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..ops.tables import SAMPLE_BLOCK_SIZE
+from ..utils.bs import BoundaryStrength
+from ..utils.yuv import FramePlanes
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "deblock_cpu.cpp")
+_LIB = os.path.join(_DIR, "libgvct_runtime.so")
+
+
+class NativeRuntimeError(RuntimeError):
+    pass
+
+
+_lib: ctypes.CDLL | None = None
+
+
+def _build() -> None:
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_DIR, "src"), "-s"],
+            check=True, capture_output=True, text=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        raise NativeRuntimeError(f"failed to build native runtime: {detail}") from e
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native runtime library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        _build()
+    lib = ctypes.CDLL(_LIB)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gvct_version.restype = ctypes.c_int
+    lib.gvct_num_threads.restype = ctypes.c_int
+    lib.gvct_deblock_frame.restype = ctypes.c_int
+    lib.gvct_deblock_frame.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_longlong, u8p, ctypes.c_longlong,
+        u8p, ctypes.c_longlong, u8p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.gvct_pack_tiles.restype = None
+    lib.gvct_pack_tiles.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
+    lib.gvct_unpack_tiles.restype = None
+    lib.gvct_unpack_tiles.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeRuntimeError:
+        return False
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def deblock_frame_native(frame: FramePlanes, bs: BoundaryStrength, qp: int,
+                         luma_only: bool = False, num_threads: int = 0) -> FramePlanes:
+    """Deblock via the C++ OpenMP backend (reference ExecuteCpu parity).
+
+    num_threads = 0 keeps the OpenMP default (the reference sweeps 1/2/4/6/8
+    via omp_set_num_threads, cpu.h:135 / main.cu:40-82)."""
+    lib = load()
+    y = np.ascontiguousarray(frame.y).copy()
+    u = np.ascontiguousarray(frame.u).copy()
+    v = np.ascontiguousarray(frame.v).copy()
+    rc = lib.gvct_deblock_frame(
+        _u8ptr(y), _u8ptr(u), _u8ptr(v), frame.width, frame.height,
+        _u8ptr(bs.vert), bs.vert.size, _u8ptr(bs.hor), bs.hor.size,
+        _u8ptr(bs.chroma_vert), bs.chroma_vert.size,
+        _u8ptr(bs.chroma_hor), bs.chroma_hor.size,
+        int(qp), int(luma_only), int(num_threads),
+    )
+    if rc != 0:
+        raise NativeRuntimeError(f"gvct_deblock_frame returned {rc}")
+    return FramePlanes(y=y, u=u, v=v, width=frame.width, height=frame.height)
+
+
+def pack_tiles_native(plane: np.ndarray) -> np.ndarray:
+    """(Hext, Wext) uint8 -> (8, 8, By, Bx) via the native packer."""
+    lib = load()
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    h, w = plane.shape
+    ny, nx = h // SAMPLE_BLOCK_SIZE, w // SAMPLE_BLOCK_SIZE
+    out = np.empty((SAMPLE_BLOCK_SIZE, SAMPLE_BLOCK_SIZE, ny, nx), np.uint8)
+    lib.gvct_pack_tiles(_u8ptr(plane), h, w, _u8ptr(out))
+    return out
+
+
+def unpack_tiles_native(tiles: np.ndarray, hext: int, wext: int) -> np.ndarray:
+    """(8, 8, By, Bx) -> (Hext, Wext); uncovered remainder (if any) is zero."""
+    lib = load()
+    tiles = np.ascontiguousarray(tiles, dtype=np.uint8)
+    out = np.zeros((hext, wext), np.uint8)
+    lib.gvct_unpack_tiles(_u8ptr(tiles), hext, wext, _u8ptr(out))
+    return out

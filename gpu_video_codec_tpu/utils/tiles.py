@@ -18,6 +18,35 @@ from __future__ import annotations
 from ..ops.tables import SAMPLE_BLOCK_SIZE
 
 
+def covered_extent(h: int, w: int) -> tuple[int, int]:
+    """Rows/cols of an extended plane covered by the 8x8 tile grid.
+
+    The reference computes tile counts with truncating integer division
+    (num_blocks = new_dim / 8, cpu.h:141-142, 450-451), so when a chroma
+    extended dim is not a multiple of 8 (e.g. 1080p: 540+8 = 548) the last
+    (dim % 8) rows/cols -- always pure padding, never real pixels -- are
+    simply outside the sweep.  Callers process the covered core and pass the
+    remainder through untouched.
+    """
+    b = SAMPLE_BLOCK_SIZE
+    return h - h % b, w - w % b
+
+
+def split_covered(plane):
+    """Split (.., H, W) into the tile-covered core and a paste-back closure."""
+    h, w = plane.shape[-2], plane.shape[-1]
+    ch, cw = covered_extent(h, w)
+    core = plane[..., :ch, :cw]
+
+    def paste(out_core, xp):
+        if ch == h and cw == w:
+            return out_core
+        rows = xp.concatenate([out_core, plane[..., ch:, :cw]], axis=-2)
+        return xp.concatenate([rows, plane[..., :, cw:]], axis=-1)
+
+    return core, paste
+
+
 def plane_to_tiles(plane):
     """(.., Hext, Wext) -> (.., 8, 8, By, Bx); T[.., r, c, by, bx] == plane[.., 8by+r, 8bx+c]."""
     b = SAMPLE_BLOCK_SIZE

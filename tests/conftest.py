@@ -9,9 +9,19 @@ Env vars must be set before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU plugin in this image ignores JAX_PLATFORMS; the legacy var works.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force-override: the shell profile exports JAX_PLATFORMS=axon (remote TPU
+# tunnel); tests must run on the virtual-device CPU mesh.  Both vars are
+# needed -- the axon plugin ignores one or the other in some code paths.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+if "jax" in sys.modules:
+    # something (e.g. a pytest plugin) imported jax before us and froze its
+    # config from the old environment; update it directly
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

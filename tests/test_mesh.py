@@ -1,0 +1,73 @@
+"""Mesh-sharded batch deblock vs the single-device path, on the 8-device
+virtual CPU mesh (BASELINE config 5's correctness side)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
+from gpu_video_codec_tpu.parallel.mesh import (
+    default_mesh_shape,
+    deblock_batch_sharded_jit,
+    make_mesh,
+)
+from gpu_video_codec_tpu.utils.bs import (
+    BoundaryStrength,
+    chroma_segment_maps,
+    luma_segment_maps,
+)
+from gpu_video_codec_tpu.utils.yuv import FramePlanes, extend_plane
+
+
+def _batch(rng, n, w, h):
+    ys = np.stack([extend_plane(rng.integers(0, 256, (h, w), dtype=np.uint8)) for _ in range(n)])
+    us = np.stack([extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)) for _ in range(n)])
+    vs = np.stack([extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)) for _ in range(n)])
+    return ys, us, vs
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (8, 1)])
+def test_sharded_matches_golden(rng, mesh_shape):
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    w, h = 64, 48  # luma By=7, chroma By=5: neither divides 4 or 8 -> pads
+    n = 8
+    ys, us, vs = _batch(rng, n, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    lm = luma_segment_maps(bs)
+    cm = chroma_segment_maps(bs)
+    qp = 35
+
+    mesh = make_mesh(*mesh_shape)
+    yo, uo, vo = deblock_batch_sharded_jit(
+        mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+        lm, cm, get_beta(qp), get_tc(qp),
+    )
+    yo, uo, vo = np.asarray(yo), np.asarray(uo), np.asarray(vo)
+    assert yo.shape == ys.shape and uo.shape == us.shape
+
+    for i in range(n):
+        frame = FramePlanes(ys[i], us[i], vs[i], w, h)
+        gold = deblock_frame_golden(frame, bs, qp)
+        assert np.array_equal(yo[i], gold.y), f"frame {i} Y mesh={mesh_shape}"
+        assert np.array_equal(uo[i], gold.u), f"frame {i} U mesh={mesh_shape}"
+        assert np.array_equal(vo[i], gold.v), f"frame {i} V mesh={mesh_shape}"
+
+
+def test_default_mesh_shape():
+    assert default_mesh_shape(1) == (1, 1)
+    assert default_mesh_shape(8) == (2, 4)
+    assert default_mesh_shape(6) == (1, 6)
+    d, s = default_mesh_shape(16)
+    assert d * s == 16
+
+
+def test_batch_not_divisible_raises(rng):
+    mesh = make_mesh(2, 4)
+    ys, us, vs = _batch(rng, 3, 64, 48)
+    with pytest.raises(ValueError):
+        deblock_batch_sharded_jit(mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+                                  luma_segment_maps(BoundaryStrength.intra_default(64, 48)),
+                                  chroma_segment_maps(BoundaryStrength.intra_default(64, 48)),
+                                  32, 4)

@@ -1,0 +1,77 @@
+"""Native C++ runtime vs the golden oracle (skipped when no toolchain)."""
+
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.runtime import native
+from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+from gpu_video_codec_tpu.utils.tiles import plane_to_tiles
+from gpu_video_codec_tpu.utils.yuv import FramePlanes, extend_plane
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
+
+
+def _frame(rng, w, h):
+    return FramePlanes(
+        extend_plane(rng.integers(0, 256, (h, w), dtype=np.uint8)),
+        extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+        extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+        w, h,
+    )
+
+
+@pytest.mark.parametrize("qp", [17, 35, 51])
+def test_native_matches_golden(rng, qp):
+    w, h = 64, 48
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    bs.set_luma(
+        rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+        rng.integers(0, 3, bs.hor.size, dtype=np.uint8),
+    )
+    gold = deblock_frame_golden(frame, bs, qp)
+    out = native.deblock_frame_native(frame, bs, qp)
+    for name in ("y", "u", "v"):
+        assert np.array_equal(getattr(gold, name), getattr(out, name)), name
+
+
+def test_native_multithreaded_deterministic(rng):
+    """OpenMP over tile columns must be race-free (tile independence)."""
+    w, h = 96, 64
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    ref = native.deblock_frame_native(frame, bs, 35, num_threads=1)
+    for threads in (2, 4, 8):
+        out = native.deblock_frame_native(frame, bs, 35, num_threads=threads)
+        for name in ("y", "u", "v"):
+            assert np.array_equal(getattr(ref, name), getattr(out, name)), (threads, name)
+
+
+def test_native_odd_chroma(rng):
+    """Chroma extended dims not divisible by 8 (1080p-class geometry)."""
+    w, h = 88, 72
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    gold = deblock_frame_golden(frame, bs, 35)
+    out = native.deblock_frame_native(frame, bs, 35)
+    for name in ("y", "u", "v"):
+        assert np.array_equal(getattr(gold, name), getattr(out, name)), name
+
+
+def test_native_pack_unpack_roundtrip(rng):
+    plane = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+    packed = native.pack_tiles_native(plane)
+    assert np.array_equal(packed, np.asarray(plane_to_tiles(plane)))
+    back = native.unpack_tiles_native(packed, 40, 64)
+    assert np.array_equal(back, plane)
+
+
+def test_native_luma_only(rng):
+    w, h = 64, 48
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    out = native.deblock_frame_native(frame, bs, 35, luma_only=True)
+    assert np.array_equal(out.u, frame.u) and np.array_equal(out.v, frame.v)
+    gold = deblock_frame_golden(frame, bs, 35, luma_only=True)
+    assert np.array_equal(out.y, gold.y)
