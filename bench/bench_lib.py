@@ -124,6 +124,66 @@ def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 1
     }
 
 
+def bench_native_cpu(qp: int = 35, thread_counts=(1, 2, 4, 6, 8), repeats: int = 5) -> list[dict]:
+    """Reference README-table parity: the CPU filter at several OpenMP thread
+    counts on the committed workload (mother-daughter CIF, Qp 35;
+    main.cu:40-82), via the native C++ backend."""
+    import os
+    import time as _t
+
+    from gpu_video_codec_tpu.runtime import native
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+    from gpu_video_codec_tpu.utils.yuv import read_yv12
+
+    if not native.available():
+        return [{"error": "native toolchain unavailable"}]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "testdata", "mother-daughter_352x288_yv12.yuv")
+    frame = read_yv12(path, 352, 288)
+    bs = BoundaryStrength.intra_default(352, 288)
+    rows = []
+    for nt in thread_counts:
+        native.deblock_frame_native(frame, bs, qp, num_threads=nt)  # warm
+        best = min(
+            _timeit_once(lambda: native.deblock_frame_native(frame, bs, qp, num_threads=nt))
+            for _ in range(repeats)
+        )
+        rows.append({
+            "config": f"native CPU, {nt} threads, CIF",
+            "filter_s": best,
+            "mpix_s": 352 * 288 / best / 1e6,
+        })
+    return rows
+
+
+def _timeit_once(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def bench_table(qp: int = 35) -> dict:
+    """The full README-style table: CPU thread sweep + TPU kernel/copy split
+    at CIF and 1080p, batched CIF, both TPU backends."""
+    rows: list[dict] = []
+    rows += bench_native_cpu(qp)
+    for w, h, label in ((352, 288, "CIF"), (1920, 1080, "1080p")):
+        raw = packed_yv12(synthetic_frame(w, h))
+        for backend in ("pallas", "jnp"):
+            s = StreamingDeblocker(w, h, qp, backend=backend)
+            tb = s.time_breakdown(raw, n=20)
+            tp = s.throughput(raw, n_frames=30)
+            rows.append({
+                "config": f"TPU {backend}, {label}",
+                "kernel_s": tb["kernel_s"],
+                "h2d_s": tb["h2d_s"],
+                "kernel_mpix_s": w * h / tb["kernel_s"] / 1e6,
+                "pipelined_mpix_s": tp["mpix_per_s"],
+            })
+    rows.append(bench_batched_cif(backend="pallas", batch=16, n_iters=30))
+    return {"qp": qp, "device": device_info(), "rows": rows}
+
+
 def headline(n_frames: int = 50) -> dict:
     """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
@@ -144,4 +204,7 @@ def headline(n_frames: int = 50) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(headline()))
+    if "--table" in sys.argv:
+        print(json.dumps(bench_table(), indent=2))
+    else:
+        print(json.dumps(headline()))

@@ -1,0 +1,87 @@
+"""CLI driver (reference main() replacement) end-to-end through subprocess-free
+invocation plus error paths."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.cli import main
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+from gpu_video_codec_tpu.utils.yuv import read_yv12, yv12_bytes_from_planes
+
+
+def test_cli_roundtrip(tmp_path, testdata_dir, capsys):
+    inp = os.path.join(testdata_dir, "mother-daughter_352x288_yv12.yuv")
+    out = str(tmp_path / "out.yuv")
+    rc = main(["--input", inp, "--width", "352", "--height", "288",
+               "--qp", "35", "--output", out, "--backend", "jnp"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["frames"] == 1
+
+    frame = read_yv12(inp, 352, 288)
+    gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(352, 288), 35)
+    with open(out, "rb") as f:
+        assert f.read() == yv12_bytes_from_planes(gold)
+
+
+def test_cli_native_backend(tmp_path, testdata_dir, capsys):
+    from gpu_video_codec_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
+    out = str(tmp_path / "out.yuv")
+    rc = main(["--input", inp, "-W", "352", "-H", "288", "--qp", "27",
+               "--output", out, "--backend", "native"])
+    assert rc == 0
+    frame = read_yv12(inp, 352, 288)
+    gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(352, 288), 27)
+    with open(out, "rb") as f:
+        assert f.read() == yv12_bytes_from_planes(gold)
+
+
+def test_cli_device_info(capsys):
+    assert main(["--device-info"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["num_devices"] >= 1
+
+
+def test_cli_missing_args(capsys):
+    assert main([]) == 2
+
+
+def test_cli_bad_dims(tmp_path, capsys):
+    f = tmp_path / "x.yuv"
+    f.write_bytes(b"\0" * (3 * 50 * 50 // 2))
+    assert main(["--input", str(f), "-W", "50", "-H", "50"]) == 1
+    assert "multiples of 8" in capsys.readouterr().err
+
+
+def test_cli_missing_file(capsys):
+    assert main(["--input", "/nonexistent.yuv", "-W", "64", "-H", "48"]) == 1
+
+
+def test_cli_multiframe_stream(tmp_path, testdata_dir, capsys):
+    """Multi-frame stream goes down the StreamingDeblocker path."""
+    inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
+    with open(inp, "rb") as f:
+        raw = f.read()
+    stream = tmp_path / "stream.yuv"
+    stream.write_bytes(raw * 3)
+    out = str(tmp_path / "out.yuv")
+    rc = main(["--input", str(stream), "-W", "352", "-H", "288", "--qp", "35",
+               "--output", out, "--backend", "jnp"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["frames"] == 3
+    frame = read_yv12(inp, 352, 288)
+    gold_bytes = yv12_bytes_from_planes(
+        deblock_frame_golden(frame, BoundaryStrength.intra_default(352, 288), 35)
+    )
+    with open(out, "rb") as f:
+        data = f.read()
+    assert data == gold_bytes * 3

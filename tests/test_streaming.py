@@ -1,0 +1,61 @@
+"""Streaming pipeline correctness: distinct frames in flight must come out
+filtered, in order, with no cross-frame mixing."""
+
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
+from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+from gpu_video_codec_tpu.utils.yuv import (
+    FramePlanes,
+    extend_plane,
+    planes_from_yv12_bytes,
+    yv12_bytes_from_planes,
+)
+
+
+def _raw_frame(rng, w, h):
+    return rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_stream_order_and_exactness(rng, depth):
+    w, h, qp = 64, 48, 35
+    raws = [_raw_frame(rng, w, h) for _ in range(6)]
+    s = StreamingDeblocker(w, h, qp, backend="jnp", depth=depth)
+    outs = list(s.run(raws))
+    assert len(outs) == len(raws)
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, outs):
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, bs, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+def test_stream_luma_only(rng):
+    w, h = 64, 48
+    raw = _raw_frame(rng, w, h)
+    s = StreamingDeblocker(w, h, 35, backend="jnp", luma_only=True)
+    (out,) = list(s.run([raw]))
+    # chroma section must be untouched
+    assert np.array_equal(out[w * h :], raw[w * h :])
+    assert not np.array_equal(out[: w * h], raw[: w * h])
+
+
+def test_stream_odd_chroma_geometry(rng):
+    """1080p-class geometry (chroma extended dims % 8 != 0) through the
+    packed device-side path."""
+    w, h, qp = 88, 72, 35
+    raw = _raw_frame(rng, w, h)
+    s = StreamingDeblocker(w, h, qp, backend="jnp")
+    (out,) = list(s.run([raw]))
+    frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+    gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), qp)
+    assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+def test_stream_rejects_wrong_size(rng):
+    s = StreamingDeblocker(64, 48, 35, backend="jnp")
+    with pytest.raises(ValueError):
+        next(s.run([np.zeros(10, np.uint8)]))
