@@ -184,6 +184,112 @@ def bench_table(qp: int = 35) -> dict:
     return {"qp": qp, "device": device_info(), "rows": rows}
 
 
+def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
+                         backend: str = "pallas", qp: int = 35) -> dict:
+    """BASELINE config 5: multi-stream 4K deblock.
+
+    On a multi-chip mesh the streams shard across devices (parallel/mesh.py);
+    on a single chip the streams interleave through the async dispatch queue,
+    which is the single-device projection of the same workload.
+    """
+    import jax.numpy as jnp
+
+    w, h = 3840, 2160
+    raw = packed_yv12(synthetic_frame(w, h))
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
+        from gpu_video_codec_tpu.parallel.mesh import (
+            default_mesh_shape, deblock_batch_sharded_jit, make_mesh,
+        )
+        from gpu_video_codec_tpu.utils.bs import (
+            BoundaryStrength, chroma_segment_maps, luma_segment_maps,
+        )
+        from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes
+
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        bs = BoundaryStrength.intra_default(w, h)
+        mesh = make_mesh(*default_mesh_shape(n_dev))
+        n = max(n_streams, mesh.shape["data"])
+        ys = jnp.asarray(np.stack([frame.y] * n))
+        us = jnp.asarray(np.stack([frame.u] * n))
+        vs = jnp.asarray(np.stack([frame.v] * n))
+        args = (ys, us, vs, luma_segment_maps(bs), chroma_segment_maps(bs),
+                get_beta(qp), get_tc(qp))
+        out = deblock_batch_sharded_jit(mesh, *args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(frames_per_stream):
+            out = deblock_batch_sharded_jit(mesh, *args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / frames_per_stream
+        return {
+            "config": f"4K x{n} streams sharded over {n_dev} devices",
+            "batch_s": dt,
+            "mpix_s": n * w * h / dt / 1e6,
+        }
+
+    s = StreamingDeblocker(w, h, qp, backend=backend, depth=2 * n_streams)
+    tp = s.throughput(raw, n_frames=n_streams * frames_per_stream)
+    return {
+        "config": f"4K x{n_streams} interleaved streams, single chip, backend={backend}",
+        "fps_aggregate": tp["fps"],
+        "mpix_s": tp["mpix_per_s"],
+    }
+
+
+def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
+    """Sweep Pallas grid block shapes for the fused kernel (the TPU analogue
+    of the reference's hand-picked CUDA block dims, main.cu:138) and report
+    the fastest.  Run on real TPU hardware."""
+    import jax.numpy as jnp
+
+    from gpu_video_codec_tpu.ops.pallas_kernel import deblock_tiles_pallas
+    from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength, luma_segment_maps
+    from gpu_video_codec_tpu.utils.tiles import plane_to_tiles
+    from gpu_video_codec_tpu.utils.yuv import extend_plane
+
+    frame = synthetic_frame(w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    maps = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
+    tiles = jnp.asarray(np.asarray(plane_to_tiles(frame.y)))
+    beta, tc = jnp.int32(get_beta(qp)), jnp.int32(get_tc(qp))
+    results = {}
+    for bby, bbx in ((8, 128), (8, 256), (16, 128), (8, 512), (16, 256), (32, 128)):
+        try:
+            out = deblock_tiles_pallas(tiles, *maps, beta, tc,
+                                       block_by=bby, block_bx=bbx)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(50):
+                out = deblock_tiles_pallas(tiles, *maps, beta, tc,
+                                           block_by=bby, block_bx=bbx)
+            jax.block_until_ready(out)
+            results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / 50
+        except Exception as e:  # noqa: BLE001 -- report compile failures per shape
+            results[f"{bby}x{bbx}"] = f"failed: {type(e).__name__}"
+    timed = {k: v for k, v in results.items() if isinstance(v, float)}
+    best = min(timed, key=timed.get) if timed else None
+    return {"results_us": {k: (round(v * 1e6, 1) if isinstance(v, float) else v)
+                           for k, v in results.items()},
+            "best": best}
+
+
+def profile_trace(out_dir: str, qp: int = 35) -> str:
+    """Capture a jax.profiler trace of one 1080p streaming step (the
+    observability hook; reference has only chrono brackets, main.cu:41-45)."""
+    w, h = 1920, 1080
+    raw = packed_yv12(synthetic_frame(w, h))
+    s = StreamingDeblocker(w, h, qp)
+    out = s._step(s._put(raw))
+    jax.block_until_ready(out)  # compile outside the trace
+    with jax.profiler.trace(out_dir):
+        out = s._step(s._put(raw))
+        jax.block_until_ready(out)
+    return out_dir
+
+
 def headline(n_frames: int = 50) -> dict:
     """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
@@ -206,5 +312,12 @@ def headline(n_frames: int = 50) -> dict:
 if __name__ == "__main__":
     if "--table" in sys.argv:
         print(json.dumps(bench_table(), indent=2))
+    elif "--4k" in sys.argv:
+        print(json.dumps(bench_4k_multistream(), indent=2))
+    elif "--autotune" in sys.argv:
+        print(json.dumps(autotune_blocks(), indent=2))
+    elif "--profile" in sys.argv:
+        d = sys.argv[sys.argv.index("--profile") + 1]
+        print(json.dumps({"trace_dir": profile_trace(d)}))
     else:
         print(json.dumps(headline()))

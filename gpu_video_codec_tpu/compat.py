@@ -1,0 +1,85 @@
+"""Drop-in migration shim: the reference's class API, TPU-backed.
+
+Users of the reference drive everything through `ReadYuvFrame`
+(hevc_deblocking_filter_cpu.h:33-1489): construct from a YV12 file, call
+`DeblockingFilter(num_threads)`, optionally inject BS via
+`SetBoundaryStrenght` (sic -- the reference's spelling, kept verbatim so
+call sites port unchanged), and `Save(path)`.  This module reproduces that
+surface exactly on top of the TPU-native pipeline so a reference user can
+switch by changing one import.
+
+    from gpu_video_codec_tpu.compat import ReadYuvFrame
+    frame = ReadYuvFrame("in.yuv", 352, 288, Qp=35)
+    frame.DeblockingFilter()          # fused Pallas kernel on TPU
+    frame.Save("out.yuv")
+
+`num_threads` maps to the native CPU backend's OpenMP thread count when
+backend="native" (reference semantics, cpu.h:135); for TPU backends the
+device's full parallelism is always used and the argument is accepted and
+ignored, like a GPU user would expect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .models.pipeline import DeblockPipeline
+from .utils.bs import BoundaryStrength
+from .utils.yuv import FramePlanes, read_yv12, write_yv12
+
+
+class ReadYuvFrame:
+    """Reference-API frame object (cpu.h:33).  Reads YV12 and deblocks."""
+
+    def __init__(self, file_name: str, width: int, height: int, Qp: int = 20,
+                 backend: str = "pallas"):
+        # ctor parity: reads the file, validates size/dims, pads planes,
+        # initializes all-Intra BS (cpu.h:35-118).  Padding is defined-zero
+        # here (quirk Q6) instead of uninitialized heap memory.
+        self._frame: FramePlanes = read_yv12(file_name, width, height)
+        self._bs = BoundaryStrength.intra_default(width, height)
+        self._qp = int(Qp)
+        self._backend = backend
+
+    # reference spelling preserved (cpu.h:120)
+    def SetBoundaryStrenght(self, vert_bs, num_vert_bs=None, hor_bs=None, num_hor_bs=None):
+        """Inject luma BS arrays (cpu.h:120-132).
+
+        Accepts either the 4-arg C-style call (arrays + explicit sizes) or
+        the natural 2-arg Python call (vert_bs, hor_bs).
+        """
+        if hor_bs is None and num_vert_bs is not None:
+            # SetBoundaryStrenght(vert, hor) convenience form
+            hor_bs = num_vert_bs
+            num_vert_bs = None
+        vert = np.asarray(vert_bs, np.uint8).ravel()
+        hor = np.asarray(hor_bs, np.uint8).ravel()
+        if num_vert_bs is not None and vert.size != num_vert_bs:
+            raise ValueError("num_vert_bs does not match vert_bs length")
+        if num_hor_bs is not None and hor.size != num_hor_bs:
+            raise ValueError("num_hor_bs does not match hor_bs length")
+        self._bs.set_luma(vert, hor)  # size-checked like the reference
+
+    def DeblockingFilter(self, num_threads: int = 1) -> None:
+        """Run the in-loop deblocking filter in place (cpu.h:134)."""
+        if self._backend == "native":
+            from .runtime.native import deblock_frame_native
+
+            self._frame = deblock_frame_native(
+                self._frame, self._bs, self._qp, num_threads=num_threads
+            )
+            return
+        pipe = DeblockPipeline(
+            self._frame.width, self._frame.height, self._qp,
+            backend=self._backend, bs=self._bs,
+        )
+        self._frame = pipe(self._frame)
+
+    def Save(self, output_file_name: str) -> None:
+        """Write the (filtered) frame back as YV12 (cpu.h:995-1018)."""
+        write_yv12(output_file_name, self._frame)
+
+    # pythonic accessors beyond the reference API
+    @property
+    def planes(self) -> FramePlanes:
+        return self._frame

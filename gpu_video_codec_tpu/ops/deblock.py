@@ -49,7 +49,7 @@ _SEGMENT_GEOMETRY = {
 _PHASE_ORDER = ("upper_vert", "lower_vert", "left_hor", "right_hor")
 
 
-def _apply_phase(planes, phase, bs_mask, beta, tc, chroma):
+def _apply_phase(planes, phase, bs_mask, beta, tc, chroma, dtype):
     """Run one edge phase in place on the 8x8 list of (By, Bx) planes."""
     p_at, q_at = _SEGMENT_GEOMETRY[phase]
     nj = 2 if chroma else 4
@@ -60,10 +60,10 @@ def _apply_phase(planes, phase, bs_mask, beta, tc, chroma):
         [jnp.stack([planes[q_at(r, j)[0]][q_at(r, j)[1]] for j in range(nj)]) for r in range(4)]
     )
     if chroma:
-        new_p, new_q = chroma_edge_filter(p, q, bs_mask, tc)
+        new_p, new_q = chroma_edge_filter(p, q, bs_mask, tc, dtype=dtype)
         touched = 1
     else:
-        new_p, new_q = luma_edge_filter(p, q, bs_mask, beta, tc)
+        new_p, new_q = luma_edge_filter(p, q, bs_mask, beta, tc, dtype=dtype)
         touched = 3
     for r in range(4):
         for j in range(touched):
@@ -73,7 +73,7 @@ def _apply_phase(planes, phase, bs_mask, beta, tc, chroma):
             planes[qr][qc] = new_q[r, j]
 
 
-def deblock_planes_core(planes, bs_maps, beta, tc, chroma=False):
+def deblock_planes_core(planes, bs_maps, beta, tc, chroma=False, dtype=jnp.int32):
     """Core four-phase sweep on an 8x8 list-of-lists of (*B) int32 planes.
 
     Mutates and returns `planes`.  Shared verbatim between the XLA path
@@ -82,11 +82,12 @@ def deblock_planes_core(planes, bs_maps, beta, tc, chroma=False):
     """
     bs_gate = (lambda m: m == 2) if chroma else (lambda m: m > 0)
     for phase, bs in zip(_PHASE_ORDER, bs_maps):
-        _apply_phase(planes, phase, bs_gate(bs), beta, tc, chroma)
+        _apply_phase(planes, phase, bs_gate(bs), beta, tc, chroma, dtype)
     return planes
 
 
-def deblock_tiles(tiles, bs_ver1, bs_ver2, bs_hor1, bs_hor2, beta, tc, chroma=False):
+def deblock_tiles(tiles, bs_ver1, bs_ver2, bs_hor1, bs_hor2, beta, tc, chroma=False,
+                  dtype=jnp.int32):
     """Deblock a tile-planes tensor.
 
     tiles: (8, 8, *B) integer array (any int dtype; compute is int32).
@@ -94,14 +95,15 @@ def deblock_tiles(tiles, bs_ver1, bs_ver2, bs_hor1, bs_hor2, beta, tc, chroma=Fa
     beta, tc: scalars.  chroma: use the 2-wide chroma filter and BS == 2 gate.
     Returns a new (8, 8, *B) tensor with the input's dtype.
     """
-    dtype = tiles.dtype
-    t32 = tiles.astype(jnp.int32)
-    planes = [[t32[r, c] for c in range(8)] for r in range(8)]
-    deblock_planes_core(planes, (bs_ver1, bs_ver2, bs_hor1, bs_hor2), beta, tc, chroma)
-    return jnp.stack([jnp.stack(row) for row in planes]).astype(dtype)
+    out_dtype = tiles.dtype
+    t = tiles.astype(dtype)
+    planes = [[t[r, c] for c in range(8)] for r in range(8)]
+    deblock_planes_core(planes, (bs_ver1, bs_ver2, bs_hor1, bs_hor2), beta, tc, chroma,
+                        dtype=dtype)
+    return jnp.stack([jnp.stack(row) for row in planes]).astype(out_dtype)
 
 
-def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False):
+def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False, dtype=jnp.int32):
     """Deblock one extended plane (.., Hext, Wext) given its four (By, Bx) BS maps.
 
     Leading batch axes (e.g. the stacked {U, V} pair, or a frame batch) are
@@ -117,23 +119,24 @@ def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False):
         # -> (8, 8, *lead, By, Bx): deblock_tiles wants tile coords leading
         perm = (nlead, nlead + 1, *range(nlead), nlead + 2, nlead + 3)
         tiles = tiles.transpose(perm)
-    out = deblock_tiles(tiles, *bs_maps, beta, tc, chroma=chroma)
+    out = deblock_tiles(tiles, *bs_maps, beta, tc, chroma=chroma, dtype=dtype)
     if nlead:
         inv = (*range(2, 2 + nlead), 0, 1, nlead + 2, nlead + 3)
         out = out.transpose(inv)
     return paste(tiles_to_plane(out), jnp)
 
 
-def deblock_frame(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc, luma_only=False):
+def deblock_frame(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc, luma_only=False,
+                  dtype=jnp.int32):
     """Full-frame luma + chroma deblock on extended planes (uint8 in/out).
 
     Mirrors ReadYuvFrame::DeblockingFilter's luma -> U -> V sequence
     (cpu.h:134-993); U and V are independent so they are batched into one
     chroma call along a leading axis.
     """
-    y_out = deblock_plane(y_ext, luma_maps, beta, tc, chroma=False)
+    y_out = deblock_plane(y_ext, luma_maps, beta, tc, chroma=False, dtype=dtype)
     if luma_only:
         return y_out, u_ext, v_ext
     uv = jnp.stack([u_ext, v_ext])
-    uv_out = deblock_plane(uv, chroma_maps, beta, tc, chroma=True)
+    uv_out = deblock_plane(uv, chroma_maps, beta, tc, chroma=True, dtype=dtype)
     return y_out, uv_out[0], uv_out[1]

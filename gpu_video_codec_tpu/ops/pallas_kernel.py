@@ -20,6 +20,14 @@ Bit-exactness: the kernel body calls ops.deblock.deblock_planes_core -- the
 same code the XLA path runs -- so the two paths are identical by
 construction; tests/test_pallas.py asserts it anyway.
 
+Compute dtype: int32 (matches the reference's C++ `int` semantics directly).
+An int16 path exists end-to-end (every intermediate provably fits, and
+tests/test_pallas.py::test_int16_compute_bitexact proves bit-equality), but
+the current Mosaic TPU compiler does not legalize int16 vector ALU ops
+(math.absi, arith.maxsi fail), and profiling shows the kernel is bound by
+HBM traffic of the layout transposes rather than VPU throughput, so int32
+stays the default on TPU.
+
 Tail handling (quirk Q5 done right): the tile grid is zero-padded up to block
 multiples with BS = 0, making padding tiles exact no-ops (the CUDA original
 instead launched a rounded-up grid with no bounds check and read OOB).
@@ -42,12 +50,14 @@ BLOCK_BY = 8
 BLOCK_BX = 128
 
 
-def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *, chroma):
+def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *, chroma, dtype):
+    # beta/tc stay int32 scalars: Mosaic supports only i32 scalar arithmetic;
+    # filters._thr casts derived thresholds to `dtype` in the vector domain
     beta = beta_ref[0]
     tc = tc_ref[0]
-    planes = [[t_ref[r, c].astype(jnp.int32) for c in range(8)] for r in range(8)]
+    planes = [[t_ref[r, c].astype(dtype) for c in range(8)] for r in range(8)]
     bs_maps = tuple(ref[...].astype(jnp.int32) for ref in (v1_ref, v2_ref, h1_ref, h2_ref))
-    deblock_planes_core(planes, bs_maps, beta, tc, chroma)
+    deblock_planes_core(planes, bs_maps, beta, tc, chroma, dtype=dtype)
     for r in range(8):
         for c in range(8):
             out_ref[r, c] = planes[r][c].astype(out_ref.dtype)
@@ -68,7 +78,7 @@ def _on_tpu() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chroma", "block_by", "block_bx", "interpret")
+    jax.jit, static_argnames=("chroma", "block_by", "block_bx", "interpret", "dtype")
 )
 def deblock_tiles_pallas(
     tiles,
@@ -82,6 +92,7 @@ def deblock_tiles_pallas(
     block_by: int = BLOCK_BY,
     block_bx: int = BLOCK_BX,
     interpret: bool | None = None,
+    dtype=jnp.int32,
 ):
     """Fused deblock of a (8, 8, By, Bx) uint8 tile tensor on TPU.
 
@@ -106,7 +117,7 @@ def deblock_tiles_pallas(
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, chroma=chroma),
+        functools.partial(_kernel, chroma=chroma, dtype=dtype),
         out_shape=jax.ShapeDtypeStruct(t.shape, t.dtype),
         grid=grid,
         in_specs=[scalar_spec, scalar_spec, tile_spec] + [map_spec] * 4,
@@ -122,7 +133,7 @@ def deblock_tiles_pallas(
 
 
 def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
-                         luma_only=False, interpret=None):
+                         luma_only=False, interpret=None, dtype=jnp.int32):
     """Full-frame deblock via the fused Pallas kernel.
 
     Luma runs as one kernel call; U and V fold into a single chroma call by
@@ -131,7 +142,8 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     reference's 3 (gpu.cu:1269-1285).
     """
     yt = plane_to_tiles(y_ext)
-    y_out = deblock_tiles_pallas(yt, *luma_maps, beta, tc, chroma=False, interpret=interpret)
+    y_out = deblock_tiles_pallas(yt, *luma_maps, beta, tc, chroma=False,
+                                 interpret=interpret, dtype=dtype)
     y_plane = tiles_to_plane(y_out)
     if luma_only:
         return y_plane, u_ext, v_ext
@@ -144,13 +156,16 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     vt = plane_to_tiles(v_core)
     uv = jnp.concatenate([ut, vt], axis=2)  # stack tile grids along By
     cmaps = [jnp.concatenate([m, m], axis=0) for m in chroma_maps]
-    uv_out = deblock_tiles_pallas(uv, *cmaps, beta, tc, chroma=True, interpret=interpret)
+    uv_out = deblock_tiles_pallas(uv, *cmaps, beta, tc, chroma=True,
+                                  interpret=interpret, dtype=dtype)
     cby = ut.shape[2]
     u_plane = u_paste(tiles_to_plane(uv_out[:, :, :cby]), jnp)
     v_plane = v_paste(tiles_to_plane(uv_out[:, :, cby:]), jnp)
     return y_plane, u_plane, v_plane
 
 
-@functools.partial(jax.jit, static_argnames=("luma_only",))
-def deblock_frame_pallas_jit(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=False):
-    return deblock_frame_pallas(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=luma_only)
+@functools.partial(jax.jit, static_argnames=("luma_only", "dtype"))
+def deblock_frame_pallas_jit(y, u, v, luma_maps, chroma_maps, beta, tc, luma_only=False,
+                             dtype=jnp.int32):
+    return deblock_frame_pallas(y, u, v, luma_maps, chroma_maps, beta, tc,
+                                luma_only=luma_only, dtype=dtype)

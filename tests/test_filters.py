@@ -17,14 +17,16 @@ QPS = [0, 15, 16, 17, 18, 20, 27, 35, 43, 51, 60]
 
 
 def _random_segments(rng, n, nj, smooth=False):
+    # batch shape (n, 1): the filter layer requires rank >= 2 batches
+    # (thresholds broadcast as (1, 1) vectors -- see filters._thr)
     if smooth:
-        base = rng.integers(0, 256, (1, 1, n))
-        noise = rng.integers(-4, 5, (4, nj, n))
+        base = rng.integers(0, 256, (1, 1, n, 1))
+        noise = rng.integers(-4, 5, (4, nj, n, 1))
         p = np.clip(base + noise, 0, 255)
-        q = np.clip(base + rng.integers(-4, 5, (4, nj, n)), 0, 255)
+        q = np.clip(base + rng.integers(-4, 5, (4, nj, n, 1)), 0, 255)
     else:
-        p = rng.integers(0, 256, (4, nj, n))
-        q = rng.integers(0, 256, (4, nj, n))
+        p = rng.integers(0, 256, (4, nj, n, 1))
+        q = rng.integers(0, 256, (4, nj, n, 1))
     return p.astype(np.int32), q.astype(np.int32)
 
 
@@ -34,20 +36,20 @@ def test_luma_filter_matches_golden(rng, qp, smooth):
     beta, tc = get_beta(qp), get_tc(qp)
     n = 256
     p, q = _random_segments(rng, n, 4, smooth)
-    mask = rng.integers(0, 2, n).astype(bool)
+    mask = rng.integers(0, 2, (n, 1)).astype(bool)
 
     vp, vq = luma_edge_filter(p, q, mask, beta, tc)
     vp, vq = np.asarray(vp), np.asarray(vq)
 
     for i in range(n):
-        pi = [[int(p[r, j, i]) for j in range(4)] for r in range(4)]
-        qi = [[int(q[r, j, i]) for j in range(4)] for r in range(4)]
-        if mask[i]:
+        pi = [[int(p[r, j, i, 0]) for j in range(4)] for r in range(4)]
+        qi = [[int(q[r, j, i, 0]) for j in range(4)] for r in range(4)]
+        if mask[i, 0]:
             gp, gq = golden.luma_filter_segment(pi, qi, beta, tc)
         else:
             gp, gq = pi, qi
-        assert vp[:, :, i].tolist() == gp, f"P mismatch seg {i} qp={qp}"
-        assert vq[:, :, i].tolist() == gq, f"Q mismatch seg {i} qp={qp}"
+        assert vp[:, :, i, 0].tolist() == gp, f"P mismatch seg {i} qp={qp}"
+        assert vq[:, :, i, 0].tolist() == gq, f"Q mismatch seg {i} qp={qp}"
 
 
 @pytest.mark.parametrize("qp", QPS)
@@ -56,20 +58,20 @@ def test_chroma_filter_matches_golden(rng, qp, smooth):
     tc = get_tc(qp)
     n = 256
     p, q = _random_segments(rng, n, 2, smooth)
-    mask = rng.integers(0, 2, n).astype(bool)
+    mask = rng.integers(0, 2, (n, 1)).astype(bool)
 
     vp, vq = chroma_edge_filter(p, q, mask, tc)
     vp, vq = np.asarray(vp), np.asarray(vq)
 
     for i in range(n):
-        pi = [[int(p[r, j, i]) for j in range(2)] for r in range(4)]
-        qi = [[int(q[r, j, i]) for j in range(2)] for r in range(4)]
-        if mask[i]:
+        pi = [[int(p[r, j, i, 0]) for j in range(2)] for r in range(4)]
+        qi = [[int(q[r, j, i, 0]) for j in range(2)] for r in range(4)]
+        if mask[i, 0]:
             gp, gq = golden.chroma_filter_segment(pi, qi, tc)
         else:
             gp, gq = pi, qi
-        assert vp[:, :, i].tolist() == gp, f"chroma P mismatch seg {i} qp={qp}"
-        assert vq[:, :, i].tolist() == gq, f"chroma Q mismatch seg {i} qp={qp}"
+        assert vp[:, :, i, 0].tolist() == gp, f"chroma P mismatch seg {i} qp={qp}"
+        assert vq[:, :, i, 0].tolist() == gq, f"chroma Q mismatch seg {i} qp={qp}"
 
 
 def test_strong_filter_hand_case():
@@ -85,11 +87,11 @@ def test_strong_filter_hand_case():
     d1q = (108-324+108+100+2)>>2 = -6>>2 = -2 -> q1 = 106
     d2q = (216-540+108+108+100+4)>>3 = -4>>3 = -1 -> q2 = 107
     """
-    p = np.full((4, 4, 1), 100, np.int32)
-    q = np.full((4, 4, 1), 108, np.int32)
-    vp, vq = luma_edge_filter(p, q, np.array([True]), get_beta(35), get_tc(35))
-    assert np.asarray(vp)[0, :, 0].tolist() == [103, 102, 101, 100]
-    assert np.asarray(vq)[0, :, 0].tolist() == [105, 106, 107, 108]
+    p = np.full((4, 4, 1, 1), 100, np.int32)
+    q = np.full((4, 4, 1, 1), 108, np.int32)
+    vp, vq = luma_edge_filter(p, q, np.array([[True]]), get_beta(35), get_tc(35))
+    assert np.asarray(vp)[0, :, 0, 0].tolist() == [103, 102, 101, 100]
+    assert np.asarray(vq)[0, :, 0, 0].tolist() == [105, 106, 107, 108]
 
 
 def test_normal_filter_hand_case():
@@ -102,19 +104,19 @@ def test_normal_filter_hand_case():
     dp1 = (((100+100+1)>>1) - 100 + 5)>>1 = 2, clip(+-2) = 2 -> p1 = 102
     dq1 = (((114+114+1)>>1) - 114 - 5)>>1 = -5>>1 = -3 -> clip = -2 -> q1 = 112
     """
-    p = np.full((4, 4, 1), 100, np.int32)
-    q = np.full((4, 4, 1), 114, np.int32)
-    vp, vq = luma_edge_filter(p, q, np.array([True]), get_beta(37), get_tc(37))
-    assert np.asarray(vp)[0, :, 0].tolist() == [105, 102, 100, 100]
-    assert np.asarray(vq)[0, :, 0].tolist() == [109, 112, 114, 114]
+    p = np.full((4, 4, 1, 1), 100, np.int32)
+    q = np.full((4, 4, 1, 1), 114, np.int32)
+    vp, vq = luma_edge_filter(p, q, np.array([[True]]), get_beta(37), get_tc(37))
+    assert np.asarray(vp)[0, :, 0, 0].tolist() == [105, 102, 100, 100]
+    assert np.asarray(vq)[0, :, 0, 0].tolist() == [109, 112, 114, 114]
 
 
 def test_chroma_hand_case():
     """p=100 flat, q=120 flat, tc=4: dp = ((100-120)*4 + 0 + 4)>>3 = -76>>3 = -10
     -> clip(+-4) = -4 -> p0 = 96; dq = ((120-100)*4 + 0 + 4)>>3 = 84>>3 = 10
     -> clip = 4 -> q0 = 120 - 4 = 116."""
-    p = np.full((4, 2, 1), 100, np.int32)
-    q = np.full((4, 2, 1), 120, np.int32)
-    vp, vq = chroma_edge_filter(p, q, np.array([True]), 4)
-    assert np.asarray(vp)[0, :, 0].tolist() == [96, 100]
-    assert np.asarray(vq)[0, :, 0].tolist() == [116, 120]
+    p = np.full((4, 2, 1, 1), 100, np.int32)
+    q = np.full((4, 2, 1, 1), 120, np.int32)
+    vp, vq = chroma_edge_filter(p, q, np.array([[True]]), 4)
+    assert np.asarray(vp)[0, :, 0, 0].tolist() == [96, 100]
+    assert np.asarray(vq)[0, :, 0, 0].tolist() == [116, 120]

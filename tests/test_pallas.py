@@ -67,3 +67,29 @@ def test_pallas_tail_blocks(rng):
         deblock_tiles_pallas(tiles, *[jnp.asarray(m) for m in maps], 32, 4)
     )
     assert np.array_equal(ref, out)
+
+
+@pytest.mark.parametrize("qp", [18, 35, 51])
+def test_int16_compute_bitexact(rng, qp):
+    """int16 compute dtype (the kernel fast path) must be bit-identical to
+    int32 (the reference's C++ `int` semantics) -- every intermediate fits."""
+    import jax.numpy as jnp
+
+    from gpu_video_codec_tpu.ops.deblock import deblock_tiles
+    from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength, luma_segment_maps, chroma_segment_maps
+    from gpu_video_codec_tpu.utils.tiles import plane_to_tiles
+
+    w, h = 64, 48
+    frame = _random_frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    beta, tc = get_beta(qp), get_tc(qp)
+    for plane, maps, chroma in (
+        (frame.y, luma_segment_maps(bs), False),
+        (frame.u, chroma_segment_maps(bs), True),
+    ):
+        tiles = jnp.asarray(np.asarray(plane_to_tiles(plane)))
+        ms = [jnp.asarray(m) for m in maps]
+        a = np.asarray(deblock_tiles(tiles, *ms, beta, tc, chroma=chroma, dtype=jnp.int32))
+        b = np.asarray(deblock_tiles(tiles, *ms, beta, tc, chroma=chroma, dtype=jnp.int16))
+        assert np.array_equal(a, b), (qp, chroma)
