@@ -70,7 +70,7 @@ def bench_1080p(backend: str = "pallas", n_frames: int = 50, qp: int = 35) -> di
     raw = packed_yv12(synthetic_frame(w, h))
     s = StreamingDeblocker(w, h, qp, backend=backend)
     tb = s.time_breakdown(raw)
-    pipelined = s.throughput(raw, n_frames=n_frames, readback=False)
+    pipelined = s.throughput(raw, n_frames=n_frames, readback=False, repeats=5)
     luma_px = w * h
     return {
         "config": f"1080p YV12 luma+chroma, backend={backend}",

@@ -141,7 +141,7 @@ class StreamingDeblocker:
             return time.perf_counter() - t0
 
         # best of `repeats` short batches: robust against the shared-tunnel
-        # bandwidth variance of the dev environment
+        # bandwidth variance of the dev environment (see CLAUDE.md)
         dt = min(one_batch() for _ in range(repeats)) / n_frames
         luma_px = self.width * self.height
         return {
