@@ -1,0 +1,2 @@
+from .pipeline import DeblockPipeline  # noqa: F401
+from .streaming import StreamingDeblocker  # noqa: F401

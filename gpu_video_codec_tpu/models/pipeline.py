@@ -97,3 +97,51 @@ class DeblockPipeline:
         if runner is None:
             raise ValueError(f"unknown backend {self.backend!r}")
         return runner(frame)
+
+    def batch(self, frames: list[FramePlanes]) -> list[FramePlanes]:
+        """Deblock a batch of frames in ONE device step (BASELINE config 3).
+
+        Frames fold into a single taller tile grid by row-concatenation --
+        exact because tiles are independent and extended luma heights are
+        always 8-aligned; chroma planes are concatenated by their tile-covered
+        cores with the (pure padding) remainders re-attached per frame.
+        Supported on the device backends ("jnp", "pallas").
+        """
+        if self.backend not in ("jnp", "pallas"):
+            raise ValueError("batch() requires a device backend ('jnp' or 'pallas')")
+        for f in frames:
+            if (f.width, f.height) != (self.width, self.height):
+                raise ValueError("frame geometry mismatch in batch")
+        if not frames:
+            return []
+        n = len(frames)
+        ch = frames[0].u.shape[0] - frames[0].u.shape[0] % 8
+        cw = frames[0].u.shape[1] - frames[0].u.shape[1] % 8
+        y = np.concatenate([f.y for f in frames], axis=0)
+        u = np.concatenate([f.u[:ch, :cw] for f in frames], axis=0)
+        v = np.concatenate([f.v[:ch, :cw] for f in frames], axis=0)
+        lmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.luma_maps)
+        cmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.chroma_maps)
+
+        if self.backend == "pallas":
+            from ..ops.pallas_kernel import deblock_frame_pallas_jit as fn
+        else:
+            fn = _deblock_jit
+        yo, uo, vo = fn(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                        lmaps, cmaps, jnp.int32(self.beta), jnp.int32(self.tc),
+                        luma_only=self.luma_only)
+        yo = np.asarray(jax.device_get(yo))
+        uo = np.asarray(jax.device_get(uo))
+        vo = np.asarray(jax.device_get(vo))
+        hy = frames[0].y.shape[0]
+        out = []
+        for i, f in enumerate(frames):
+            uf, vf = f.u.copy(), f.v.copy()
+            if not self.luma_only:
+                uf[:ch, :cw] = uo[i * ch : (i + 1) * ch]
+                vf[:ch, :cw] = vo[i * ch : (i + 1) * ch]
+            out.append(FramePlanes(
+                y=yo[i * hy : (i + 1) * hy], u=uf, v=vf,
+                width=self.width, height=self.height,
+            ))
+        return out

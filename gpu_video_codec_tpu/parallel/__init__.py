@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    default_mesh_shape,
+    deblock_batch_sharded,
+    deblock_batch_sharded_jit,
+    make_mesh,
+)
