@@ -64,22 +64,28 @@ def packed_yv12(frame: FramePlanes) -> np.ndarray:
     return np.frombuffer(yv12_bytes_from_planes(frame), np.uint8)
 
 
-def bench_1080p(backend: str = "pallas", n_frames: int = 50, qp: int = 35) -> dict:
-    """BASELINE config 4: 1080p YV12 stream with copy-overlap pipeline."""
-    w, h = 1920, 1080
+def bench_stream(w: int, h: int, backend: str = "pallas", n_frames: int = 50,
+                 qp: int = 35, repeats: int = 5, label: str | None = None) -> dict:
+    """Copy-overlap streaming benchmark at an arbitrary geometry."""
     raw = packed_yv12(synthetic_frame(w, h))
     s = StreamingDeblocker(w, h, qp, backend=backend)
-    tb = s.time_breakdown(raw)
-    pipelined = s.throughput(raw, n_frames=n_frames, readback=False, repeats=5)
+    tb = s.time_breakdown(raw, n=min(30, n_frames))
+    pipelined = s.throughput(raw, n_frames=n_frames, readback=False, repeats=repeats)
     luma_px = w * h
     return {
-        "config": f"1080p YV12 luma+chroma, backend={backend}",
+        "config": label or f"{w}x{h} YV12 luma+chroma, backend={backend}",
         "kernel_us": tb["kernel_s"] * 1e6,
         "h2d_us": tb["h2d_s"] * 1e6,
         "kernel_mpix_s": luma_px / tb["kernel_s"] / 1e6,
         "pipelined_mpix_s": pipelined["mpix_per_s"],
         "pipelined_fps": pipelined["fps"],
     }
+
+
+def bench_1080p(backend: str = "pallas", n_frames: int = 50, qp: int = 35) -> dict:
+    """BASELINE config 4: 1080p YV12 stream with copy-overlap pipeline."""
+    return bench_stream(1920, 1080, backend=backend, n_frames=n_frames, qp=qp,
+                        label=f"1080p YV12 luma+chroma, backend={backend}")
 
 
 def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 100) -> dict:

@@ -1,0 +1,40 @@
+"""Bench harness smoke tests on CPU (tiny geometry): keeps bench.py from
+bit-rotting between rounds.  Real numbers come from TPU runs."""
+
+import json
+
+
+def test_bench_stream_smoke():
+    from bench.bench_lib import bench_stream
+
+    r = bench_stream(64, 48, backend="jnp", n_frames=4, repeats=1)
+    assert r["kernel_us"] > 0 and r["pipelined_mpix_s"] > 0
+    json.dumps(r)  # serializable
+
+
+def test_headline_shape_contract():
+    """bench.py must emit the driver's expected keys."""
+    from bench import bench_lib
+
+    # monkeypatch the geometry down so the contract test runs on CPU
+    orig = bench_lib.bench_1080p
+    bench_lib.bench_1080p = lambda **kw: bench_lib.bench_stream(
+        64, 48, backend="jnp", n_frames=4, repeats=1
+    )
+    try:
+        out = bench_lib.headline()
+    finally:
+        bench_lib.bench_1080p = orig
+    assert set(out) >= {"metric", "value", "unit", "vs_baseline"}
+    line = json.dumps(out)
+    assert line.startswith("{") and "\n" not in line
+
+
+def test_synthetic_frame_deterministic():
+    from bench.bench_lib import synthetic_frame
+
+    import numpy as np
+
+    a = synthetic_frame(64, 48)
+    b = synthetic_frame(64, 48)
+    assert np.array_equal(a.y, b.y)
