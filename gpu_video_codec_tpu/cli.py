@@ -14,8 +14,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 from .utils.config import BACKENDS, DeblockConfig
 
 
@@ -52,58 +50,89 @@ def build_parser() -> argparse.ArgumentParser:
                    help="native backend OpenMP thread count (0 = default)")
     p.add_argument("--depth", type=int, default=2, help="streaming frames in flight")
     p.add_argument("--bench", action="store_true",
-                   help="print per-frame timing breakdown instead of writing output")
+                   help="add a per-frame timing breakdown to the JSON result "
+                        "(kernel vs copy on device backends, filter time on host backends)")
     p.add_argument("--device-info", action="store_true", help="print device info and exit")
     return p
 
 
+def _raw_frames(path: str, frame_bytes: int, max_frames: int | None):
+    """Yield raw YV12 frame buffers straight from disk (no decode round-trip;
+    memory stays O(pipeline depth) for long streams)."""
+    count = 0
+    with open(path, "rb") as f:
+        while max_frames is None or count < max_frames:
+            data = f.read(frame_bytes)
+            if len(data) < frame_bytes:
+                break
+            count += 1
+            yield data
+
+
 def run(cfg: DeblockConfig, bench: bool = False) -> dict:
-    from .models.pipeline import DeblockPipeline
-    from .utils.yuv import read_yv12_stream, write_yv12, yv12_bytes_from_planes
+    import os
 
-    frames = read_yv12_stream(cfg.input, cfg.width, cfg.height, cfg.frames)
-    if not frames:
+    frame_bytes = 3 * cfg.width * cfg.height // 2
+    size = os.path.getsize(cfg.input)
+    n_avail = size // frame_bytes
+    if n_avail == 0:
         raise ValueError(f"no complete {cfg.width}x{cfg.height} frames in {cfg.input}")
+    n = n_avail if cfg.frames is None else min(cfg.frames, n_avail)
 
-    result: dict = {"frames": len(frames), "backend": cfg.backend, "qp": cfg.qp}
+    result: dict = {"frames": n, "backend": cfg.backend, "qp": cfg.qp}
 
-    if cfg.backend in ("jnp", "pallas") and len(frames) > 1:
-        # stream path with copy overlap
+    if cfg.backend in ("jnp", "pallas"):
+        # device path: raw packed frames, copy-overlap streaming, incremental
+        # output writes
         from .models.streaming import StreamingDeblocker
 
         s = StreamingDeblocker(cfg.width, cfg.height, cfg.qp, backend=cfg.backend,
                                luma_only=cfg.luma_only, depth=cfg.depth)
-        packed = [np.frombuffer(yv12_bytes_from_planes(f), np.uint8) for f in frames]
-        t0 = time.perf_counter()
-        outs = list(s.run(packed))
-        dt = time.perf_counter() - t0
-        result["seconds"] = dt
-        result["fps"] = len(frames) / dt
-        if cfg.output:
-            with open(cfg.output, "wb") as f:
-                for o in outs:
-                    f.write(o.tobytes())
+        sink = open(cfg.output, "wb") if cfg.output else None
+        try:
+            t0 = time.perf_counter()
+            for o in s.run(_raw_frames(cfg.input, frame_bytes, n)):
+                if sink is not None:
+                    sink.write(o.tobytes())
+            dt = time.perf_counter() - t0
+        finally:
+            if sink is not None:
+                sink.close()
+        if bench:
+            with open(cfg.input, "rb") as f:
+                first_raw = f.read(frame_bytes)
+            result["timing"] = {
+                k.replace("_s", "_us"): round(v * 1e6, 1)
+                for k, v in s.time_breakdown(first_raw).items()
+            }
+            result["timing_unit"] = "us/frame"
     else:
+        from .models.pipeline import DeblockPipeline
+        from .utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
         pipe = DeblockPipeline(cfg.width, cfg.height, cfg.qp,
-                               luma_only=cfg.luma_only, backend=cfg.backend)
-        t0 = time.perf_counter()
-        outs = [pipe(f) for f in frames]
-        dt = time.perf_counter() - t0
-        result["seconds"] = dt
-        result["fps"] = len(frames) / dt
-        if cfg.output:
-            with open(cfg.output, "wb") as f:
-                for o in outs:
-                    f.write(yv12_bytes_from_planes(o))
+                               luma_only=cfg.luma_only, backend=cfg.backend,
+                               num_threads=cfg.num_threads)
+        sink = open(cfg.output, "wb") if cfg.output else None
+        try:
+            t0 = time.perf_counter()
+            per_frame = []
+            for raw in _raw_frames(cfg.input, frame_bytes, n):
+                f0 = time.perf_counter()
+                out = pipe(planes_from_yv12_bytes(raw, cfg.width, cfg.height))
+                per_frame.append(time.perf_counter() - f0)
+                if sink is not None:
+                    sink.write(yv12_bytes_from_planes(out))
+            dt = time.perf_counter() - t0
+        finally:
+            if sink is not None:
+                sink.close()
+        if bench:
+            result["timing"] = {"filter_us": round(min(per_frame) * 1e6, 1)}
+            result["timing_unit"] = "us/frame"
 
-    if bench and cfg.backend in ("jnp", "pallas"):
-        from .models.streaming import StreamingDeblocker
-
-        s = StreamingDeblocker(cfg.width, cfg.height, cfg.qp, backend=cfg.backend,
-                               luma_only=cfg.luma_only)
-        raw = np.frombuffer(yv12_bytes_from_planes(frames[0]), np.uint8)
-        result["timing"] = {k: round(v * 1e6, 1) for k, v in s.time_breakdown(raw).items()}
-        result["timing_unit"] = "us/frame"
+    result["seconds"] = dt
+    result["fps"] = n / dt
     return result
 
 

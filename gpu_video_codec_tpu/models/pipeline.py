@@ -26,6 +26,7 @@ import numpy as np
 from ..ops.deblock import deblock_frame
 from ..ops.tables import get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
+from ..utils.tiles import covered_extent
 from ..utils.yuv import FramePlanes
 
 
@@ -40,7 +41,7 @@ class DeblockPipeline:
 
     def __init__(self, width: int, height: int, qp: int,
                  luma_only: bool = False, backend: str = "jnp",
-                 bs: BoundaryStrength | None = None):
+                 bs: BoundaryStrength | None = None, num_threads: int = 0):
         self.width = width
         self.height = height
         self.qp = int(qp)
@@ -48,6 +49,9 @@ class DeblockPipeline:
         self.tc = get_tc(qp)
         self.luma_only = luma_only
         self.backend = backend
+        # native backend OpenMP threads; 0 = library default (the reference
+        # sweeps 1/2/4/6/8 via omp_set_num_threads, cpu.h:135)
+        self.num_threads = num_threads
         self.set_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
 
     def set_boundary_strength(self, bs: BoundaryStrength) -> None:
@@ -66,7 +70,8 @@ class DeblockPipeline:
             self.luma_maps, self.chroma_maps,
             jnp.int32(self.beta), jnp.int32(self.tc), self.luma_only,
         )
-        return FramePlanes(np.asarray(y), np.asarray(u), np.asarray(v),
+        # jax.device_get, never np.asarray, for computed device arrays (CLAUDE.md)
+        return FramePlanes(jax.device_get(y), jax.device_get(u), jax.device_get(v),
                            frame.width, frame.height)
 
     def _run_pallas(self, frame: FramePlanes) -> FramePlanes:
@@ -77,7 +82,7 @@ class DeblockPipeline:
             self.luma_maps, self.chroma_maps,
             jnp.int32(self.beta), jnp.int32(self.tc), self.luma_only,
         )
-        return FramePlanes(np.asarray(y), np.asarray(u), np.asarray(v),
+        return FramePlanes(jax.device_get(y), jax.device_get(u), jax.device_get(v),
                            frame.width, frame.height)
 
     def _run_golden(self, frame: FramePlanes) -> FramePlanes:
@@ -88,7 +93,8 @@ class DeblockPipeline:
     def _run_native(self, frame: FramePlanes) -> FramePlanes:
         from ..runtime.native import deblock_frame_native
 
-        return deblock_frame_native(frame, self.bs, self.qp, luma_only=self.luma_only)
+        return deblock_frame_native(frame, self.bs, self.qp, luma_only=self.luma_only,
+                                    num_threads=self.num_threads)
 
     def __call__(self, frame: FramePlanes) -> FramePlanes:
         if (frame.width, frame.height) != (self.width, self.height):
@@ -115,8 +121,7 @@ class DeblockPipeline:
         if not frames:
             return []
         n = len(frames)
-        ch = frames[0].u.shape[0] - frames[0].u.shape[0] % 8
-        cw = frames[0].u.shape[1] - frames[0].u.shape[1] % 8
+        ch, cw = covered_extent(*frames[0].u.shape)
         y = np.concatenate([f.y for f in frames], axis=0)
         u = np.concatenate([f.u[:ch, :cw] for f in frames], axis=0)
         v = np.concatenate([f.v[:ch, :cw] for f in frames], axis=0)

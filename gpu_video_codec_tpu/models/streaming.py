@@ -35,7 +35,7 @@ from ..ops.pallas_kernel import deblock_frame_pallas
 from ..ops.deblock import deblock_frame
 from ..ops.tables import HALF_BLOCK, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
-from ..utils.yuv import FramePlanes
+from ..utils.yuv import FramePlanes, check_dims
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "luma_only", "backend"))
@@ -71,6 +71,7 @@ class StreamingDeblocker:
                  depth: int = 2, bs: BoundaryStrength | None = None):
         if backend not in ("pallas", "jnp"):
             raise ValueError(f"streaming backend must be 'pallas' or 'jnp', got {backend!r}")
+        check_dims(width, height)  # reference contract (cpu.h:46-48)
         self.width, self.height, self.qp = width, height, int(qp)
         self.depth = max(1, depth)
         self.frame_bytes = 3 * width * height // 2
@@ -89,11 +90,16 @@ class StreamingDeblocker:
             luma_only=self._luma_only, backend=self._backend,
         )
 
-    def _put(self, frame) -> jax.Array:
-        arr = np.frombuffer(frame, np.uint8) if isinstance(frame, (bytes, bytearray)) else np.asarray(frame, np.uint8).ravel()
+    def _host_frame(self, frame) -> np.ndarray:
+        """Normalize a frame (bytes or array-like) to a validated uint8 buffer."""
+        arr = (np.frombuffer(frame, np.uint8) if isinstance(frame, (bytes, bytearray))
+               else np.asarray(frame, np.uint8).ravel())
         if arr.size != self.frame_bytes:
             raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
-        return jax.device_put(arr)  # async host->HBM DMA
+        return arr
+
+    def _put(self, frame) -> jax.Array:
+        return jax.device_put(self._host_frame(frame))  # async host->HBM DMA
 
     def run(self, frames: Iterable) -> Iterator[np.ndarray]:
         """Yield filtered packed YV12 frames (np.uint8).  H2D(i+1), kernel(i)
@@ -124,7 +130,7 @@ class StreamingDeblocker:
         HBM for a downstream on-device consumer); readback=True drains every
         output back to the host (full YV12 in/out loop).
         """
-        arr = np.asarray(frame, np.uint8).ravel()
+        arr = self._host_frame(frame)
         out = self._step(self._put(arr))
         jax.block_until_ready(out)  # compile warm-up
 
@@ -162,7 +168,7 @@ class StreamingDeblocker:
         30 MB/s down to ~10 KB/s) that says nothing about the pipeline; on
         directly-attached hardware it is a fair number to report.
         """
-        arr = np.asarray(frame, np.uint8).ravel()
+        arr = self._host_frame(frame)
         dev = self._put(arr)
         out = self._step(dev)
         jax.block_until_ready(out)

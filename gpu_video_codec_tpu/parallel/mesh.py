@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.deblock import deblock_frame
-from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B  # re-exported constant
+from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B, covered_extent
 
 
 def make_mesh(n_data: int, n_spatial: int, devices=None) -> Mesh:
@@ -95,7 +95,7 @@ def deblock_batch_sharded(
 
     # chroma planes may have a truncated remainder (not 8-multiple); keep the
     # core only for sharding and paste the zero remainder back at the end.
-    ch, cw = u_batch.shape[-2] - u_batch.shape[-2] % _B, u_batch.shape[-1] - u_batch.shape[-1] % _B
+    ch, cw = covered_extent(u_batch.shape[-2], u_batch.shape[-1])
     u_core, v_core = u_batch[..., :ch, :cw], v_batch[..., :ch, :cw]
 
     y_p, lmaps, by = _pad_rows_to(y_batch, luma_maps, n_sp)

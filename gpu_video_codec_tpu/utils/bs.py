@@ -94,6 +94,9 @@ class BoundaryStrength:
 
 def _flat_lookup(flat: np.ndarray, idx: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """flat[idx] where valid and 0 <= idx < len(flat); else 0 (the OOB->0 rule)."""
+    if flat.size == 0:
+        # e.g. an 8-px-wide frame has zero chroma BS entries; every read is OOB
+        return np.zeros(np.broadcast_shapes(idx.shape, valid.shape), np.uint8)
     ok = valid & (idx >= 0) & (idx < flat.size)
     return np.where(ok, flat[np.clip(idx, 0, flat.size - 1)], 0).astype(np.uint8)
 

@@ -87,3 +87,30 @@ def test_segment_maps_oob_never_raises():
     for m in maps:
         assert m.shape == (5, 5)
         assert m.dtype == np.uint8
+
+
+def test_minimal_8px_frame_does_not_crash():
+    """width == height == 8: chroma BS arrays are zero-size; every chroma
+    lookup is OOB and must read as 0 across all paths (regression: the
+    vectorized lookup used to IndexError on empty arrays)."""
+    import numpy as np
+
+    from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+    from gpu_video_codec_tpu.models.pipeline import DeblockPipeline
+    from gpu_video_codec_tpu.utils.yuv import FramePlanes, extend_plane
+
+    rng = np.random.default_rng(3)
+    frame = FramePlanes(
+        extend_plane(rng.integers(0, 256, (8, 8), dtype=np.uint8)),
+        extend_plane(rng.integers(0, 256, (4, 4), dtype=np.uint8)),
+        extend_plane(rng.integers(0, 256, (4, 4), dtype=np.uint8)),
+        8, 8,
+    )
+    bs = BoundaryStrength.intra_default(8, 8)
+    assert bs.chroma_vert.size == 0 and bs.chroma_hor.size == 0
+    gold = deblock_frame_golden(frame, bs, 35)
+    out = DeblockPipeline(8, 8, 35, backend="jnp")(frame)
+    for name in ("y", "u", "v"):
+        assert np.array_equal(getattr(gold, name), getattr(out, name)), name
+    # chroma must be untouched (all BS reads OOB -> 0)
+    assert np.array_equal(gold.u, frame.u)

@@ -85,3 +85,16 @@ def test_cli_multiframe_stream(tmp_path, testdata_dir, capsys):
     with open(out, "rb") as f:
         data = f.read()
     assert data == gold_bytes * 3
+
+
+def test_cli_bench_native(tmp_path, testdata_dir, capsys):
+    from gpu_video_codec_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
+    rc = main(["--input", inp, "-W", "352", "-H", "288", "--qp", "35",
+               "--backend", "native", "--num-threads", "2", "--bench"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["timing"]["filter_us"] > 0

@@ -59,3 +59,19 @@ def test_stream_rejects_wrong_size(rng):
     s = StreamingDeblocker(64, 48, 35, backend="jnp")
     with pytest.raises(ValueError):
         next(s.run([np.zeros(10, np.uint8)]))
+
+
+def test_measurement_accepts_bytes(rng):
+    """throughput()/time_breakdown() accept bytes like run() does."""
+    w, h = 64, 48
+    raw = bytes(_raw_frame(rng, w, h))
+    s = StreamingDeblocker(w, h, 35, backend="jnp")
+    tb = s.time_breakdown(raw, n=2)
+    assert tb["kernel_s"] > 0
+    tp = s.throughput(raw, n_frames=2, repeats=1)
+    assert tp["fps"] > 0
+
+
+def test_streaming_rejects_bad_dims():
+    with pytest.raises(ValueError):
+        StreamingDeblocker(100, 50, 35, backend="jnp")
