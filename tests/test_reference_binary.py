@@ -1,0 +1,33 @@
+"""Golden model vs the ACTUAL reference implementation, compiled from the
+read-only reference checkout (skipped when the checkout or g++ is absent).
+
+This closes the validation chain end to end: reference C++ binary == golden
+== jnp == pallas == native, byte-exact."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REF_DIR = "/root/reference/hevc_deblocking_filter"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(os.path.join(REF_DIR, "hevc_deblocking_filter_cpu.h"))
+         and shutil.which("g++")),
+    reason="reference checkout or g++ unavailable",
+)
+
+
+def test_golden_matches_compiled_reference(tmp_path):
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "validate_vs_reference.py")
+    r = subprocess.run([sys.executable, tool, REF_DIR],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "IDENTICAL" in r.stdout
+    assert "diffs" not in r.stdout.replace("byte diffs", "") or True
+    # every case must be identical
+    for line in r.stdout.strip().splitlines():
+        assert line.endswith("IDENTICAL"), line
