@@ -133,17 +133,25 @@ def deblock_tiles_pallas(
 
 
 def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
-                         luma_only=False, interpret=None, dtype=jnp.int32):
+                         luma_only=False, interpret=None, dtype=jnp.int32,
+                         luma_block=(BLOCK_BY, BLOCK_BX),
+                         chroma_block=(BLOCK_BY, BLOCK_BX)):
     """Full-frame deblock via the fused Pallas kernel.
 
     Luma runs as one kernel call; U and V fold into a single chroma call by
     concatenating their tile grids along the By axis (tiles are independent,
     so any tile-aligned packing is exact) -- 2 launches per frame vs the
     reference's 3 (gpu.cu:1269-1285).
+
+    luma_block/chroma_block: per-plane grid block shapes over the tile grid,
+    the TPU analogue of ExecuteGpu's separate luma/chroma CUDA block dims
+    (main.cu:87-89, caller-chosen at main.cu:138).  Defaults are within noise
+    of the autotuned best (bench.bench_lib.autotune_blocks).
     """
     yt = plane_to_tiles(y_ext)
     y_out = deblock_tiles_pallas(yt, *luma_maps, beta, tc, chroma=False,
-                                 interpret=interpret, dtype=dtype)
+                                 interpret=interpret, dtype=dtype,
+                                 block_by=luma_block[0], block_bx=luma_block[1])
     y_plane = tiles_to_plane(y_out)
     if luma_only:
         return y_plane, u_ext, v_ext
@@ -157,7 +165,8 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     uv = jnp.concatenate([ut, vt], axis=2)  # stack tile grids along By
     cmaps = [jnp.concatenate([m, m], axis=0) for m in chroma_maps]
     uv_out = deblock_tiles_pallas(uv, *cmaps, beta, tc, chroma=True,
-                                  interpret=interpret, dtype=dtype)
+                                  interpret=interpret, dtype=dtype,
+                                  block_by=chroma_block[0], block_bx=chroma_block[1])
     cby = ut.shape[2]
     u_plane = u_paste(tiles_to_plane(uv_out[:, :, :cby]), jnp)
     v_plane = v_paste(tiles_to_plane(uv_out[:, :, cby:]), jnp)
