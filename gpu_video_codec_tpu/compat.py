@@ -83,3 +83,43 @@ class ReadYuvFrame:
     @property
     def planes(self) -> FramePlanes:
         return self._frame
+
+
+def ExecuteCpu(input_file: str, output_file: str, width: int, height: int,
+               Qp: int, thread_counts=(1, 2, 4, 6, 8)) -> dict:
+    """Reference ExecuteCpu parity (main.cu:36-83): run the host CPU filter
+    at several OpenMP thread counts, timing each, writing the (identical)
+    output once per run like the original.  Returns {threads: seconds}."""
+    import time
+
+    from .runtime import native
+
+    timings: dict[int, float] = {}
+    for nt in thread_counts:
+        frame = ReadYuvFrame(input_file, width, height, Qp, backend="native")
+        t0 = time.perf_counter()
+        # native backend honors num_threads (cpu.h:135 parity)
+        frame._frame = native.deblock_frame_native(
+            frame._frame, frame._bs, frame._qp, num_threads=nt
+        )
+        timings[nt] = time.perf_counter() - t0
+        frame.Save(output_file)
+    return timings
+
+
+def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
+               Qp: int, luma_block=(8, 128), chroma_block=(8, 128)) -> dict:
+    """Reference ExecuteGpu parity (gpu.cu:1230-1306): fused-kernel filter
+    with caller-chosen per-plane block dims, timing the copy and kernel
+    separately like the original's 'with copy' / 'without copy' split."""
+    from .models.streaming import StreamingDeblocker
+
+    with open(input_file, "rb") as f:
+        raw = f.read(3 * width * height // 2)
+    s = StreamingDeblocker(width, height, Qp, backend="pallas")
+    (out,) = list(s.run([raw]))
+    with open(output_file, "wb") as f:
+        f.write(out.tobytes())
+    tb = s.time_breakdown(raw, n=10)
+    return {"kernel_s": tb["kernel_s"], "copy_s": tb["h2d_s"],
+            "total_s": tb["kernel_s"] + tb["h2d_s"]}

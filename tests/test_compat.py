@@ -51,3 +51,34 @@ def test_ctor_validation(tmp_path):
     bad.write_bytes(b"\0" * 100)
     with pytest.raises(ValueError):
         ReadYuvFrame(str(bad), 352, 288)
+
+
+def test_execute_cpu_parity(tmp_path, testdata_dir):
+    from gpu_video_codec_tpu.compat import ExecuteCpu
+    from gpu_video_codec_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    inp = os.path.join(testdata_dir, "mother-daughter_352x288_yv12.yuv")
+    out = str(tmp_path / "out.yuv")
+    timings = ExecuteCpu(inp, out, 352, 288, 35, thread_counts=(1, 2))
+    assert set(timings) == {1, 2} and all(t > 0 for t in timings.values())
+    gold = deblock_frame_golden(
+        read_yv12(inp, 352, 288), BoundaryStrength.intra_default(352, 288), 35
+    )
+    with open(out, "rb") as f:
+        assert f.read() == yv12_bytes_from_planes(gold)
+
+
+def test_execute_tpu_parity(tmp_path, testdata_dir):
+    from gpu_video_codec_tpu.compat import ExecuteTpu
+
+    inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
+    out = str(tmp_path / "out.yuv")
+    t = ExecuteTpu(inp, out, 352, 288, 35)
+    assert t["kernel_s"] > 0 and t["copy_s"] > 0
+    gold = deblock_frame_golden(
+        read_yv12(inp, 352, 288), BoundaryStrength.intra_default(352, 288), 35
+    )
+    with open(out, "rb") as f:
+        assert f.read() == yv12_bytes_from_planes(gold)

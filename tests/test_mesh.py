@@ -71,3 +71,18 @@ def test_batch_not_divisible_raises(rng):
                                   luma_segment_maps(BoundaryStrength.intra_default(64, 48)),
                                   chroma_segment_maps(BoundaryStrength.intra_default(64, 48)),
                                   32, 4)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip_various_counts(n, monkeypatch):
+    """The driver may invoke dryrun_multichip with any virtual device count
+    <= available; it must work for every factorization."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                    "__graft_entry__.py"))
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    ge.dryrun_multichip(n)
