@@ -297,16 +297,25 @@ def profile_trace(out_dir: str, qp: int = 35) -> str:
 
 
 def headline(n_frames: int = 50) -> dict:
-    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12."""
+    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12.
+
+    value / vs_baseline compare kernel-only against the reference's best
+    kernel-only number (744 Mpix/s, GTX 1060 pinned -- the same "without
+    copy" definition, README.md:24 of the reference).  The copy-overlap
+    pipeline number is in details; in this dev environment it is bound by
+    the network-tunneled host->TPU link (~1.5 GB/s), not by the framework
+    (vs the reference's with-copy 119 Mpix/s it is still ~8x)."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
-    value = r["pipelined_mpix_s"]
+    value = r["kernel_mpix_s"]
     return {
-        "metric": "filtered Mpix/s/chip at 1080p YV12 (luma px, copy-overlap pipeline)",
+        "metric": "filtered Mpix/s/chip at 1080p YV12 (luma px, fused kernel, no copy)",
         "value": round(value, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
         "details": {
             **{k: round(v, 2) if isinstance(v, float) else v for k, v in r.items()},
+            "pipelined_vs_reference_e2e": round(r["pipelined_mpix_s"] / REF_E2E_MPIX_S, 2),
+            "pipelined_note": "copy-overlap pipeline; H2D-bound at the dev tunnel's wire speed",
             "reference_best_kernel_mpix_s": REF_KERNEL_MPIX_S,
             "reference_best_e2e_mpix_s": REF_E2E_MPIX_S,
             "north_star_mpix_s": NORTH_STAR_MPIX_S,

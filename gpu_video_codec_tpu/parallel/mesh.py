@@ -79,12 +79,14 @@ def deblock_batch_sharded(
     beta,
     tc,
     luma_only: bool = False,
+    backend: str = "jnp",
 ):
     """Deblock a batch of frames sharded over a ("data", "spatial") mesh.
 
     y_batch: (N, Hext, Wext) uint8; u/v: (N, cHext, cWext).  N must divide by
     the data axis; tile rows are padded to the spatial axis automatically.
-    Returns filtered (y, u, v) batches with the original shapes.
+    backend: "jnp" (XLA) or "pallas" -- each device runs the fused kernel on
+    its local slab.  Returns filtered (y, u, v) batches with original shapes.
     """
     n_data = mesh.shape["data"]
     n_sp = mesh.shape["spatial"]
@@ -111,10 +113,27 @@ def deblock_batch_sharded(
         in_specs=(plane_spec, plane_spec, plane_spec,
                   (map_spec,) * 4, (map_spec,) * 4, P(), P()),
         out_specs=(plane_spec, plane_spec, plane_spec),
+        # pallas_call outputs carry no varying-mesh-axes metadata in this
+        # JAX version; the specs above fully describe the sharding anyway
+        check_vma=False,
     )
     def _local(y, u, v, lm, cm, b, t):
         # each device deblocks its own tile-aligned slab; tiles are
         # self-contained so no halo/collective is needed
+        if backend == "pallas":
+            from ..ops.pallas_kernel import deblock_frame_pallas
+
+            # fold the local frame batch into tile rows (frames and slabs are
+            # tile-aligned, so row-concat is exact), run the fused kernel once
+            n, hy, wy = y.shape
+            nc, hc, wc = u.shape
+            lm2 = tuple(jnp.concatenate([m] * n, axis=0) for m in lm)
+            cm2 = tuple(jnp.concatenate([m] * n, axis=0) for m in cm)
+            yo, uo, vo = deblock_frame_pallas(
+                y.reshape(n * hy, wy), u.reshape(nc * hc, wc), v.reshape(nc * hc, wc),
+                lm2, cm2, b, t, luma_only=luma_only,
+            )
+            return (yo.reshape(n, hy, wy), uo.reshape(nc, hc, wc), vo.reshape(nc, hc, wc))
         return deblock_frame(y, u, v, lm, cm, b, t, luma_only=luma_only)
 
     yo, uo, vo = _local(
@@ -135,9 +154,10 @@ def _paste_remainder(core, full, ch, cw):
     return jnp.concatenate([rows, full[..., :, cw:]], axis=-1)
 
 
-def deblock_batch_sharded_jit(mesh, *args, luma_only=False):
+def deblock_batch_sharded_jit(mesh, *args, luma_only=False, backend="jnp"):
     """jit-wrapped sharded batch deblock (compiles once per geometry)."""
     fn = jax.jit(
-        functools.partial(deblock_batch_sharded, mesh, luma_only=luma_only)
+        functools.partial(deblock_batch_sharded, mesh, luma_only=luma_only,
+                          backend=backend)
     )
     return fn(*args)

@@ -86,3 +86,20 @@ def test_dryrun_multichip_various_counts(n, monkeypatch):
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
     ge.dryrun_multichip(n)
+
+
+def test_sharded_pallas_backend(rng):
+    """Per-shard fused Pallas kernel inside shard_map matches golden."""
+    w, h, n = 64, 48, 4
+    ys, us, vs = _batch(rng, n, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    mesh = make_mesh(2, 4)
+    yo, uo, vo = deblock_batch_sharded_jit(
+        mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+        luma_segment_maps(bs), chroma_segment_maps(bs),
+        get_beta(35), get_tc(35), backend="pallas",
+    )
+    for i in range(n):
+        gold = deblock_frame_golden(FramePlanes(ys[i], us[i], vs[i], w, h), bs, 35)
+        assert np.array_equal(np.asarray(yo[i]), gold.y), i
+        assert np.array_equal(np.asarray(uo[i]), gold.u), i
