@@ -282,6 +282,36 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
             "best": best}
 
 
+def soak(n_frames: int = 1000, qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
+    """Sustained streaming soak: distinguishes burst throughput (dispatch
+    queue + link buffering absorb short batches) from the true sustained
+    host->HBM rate.  On the dev tunnel these differ ~10x (1.5 GB/s burst vs
+    ~160 MB/s sustained); on directly-attached hosts they coincide."""
+    raw = packed_yv12(synthetic_frame(w, h))
+    s = StreamingDeblocker(w, h, qp)
+    out = s._step(s._put(raw))
+    jax.block_until_ready(out)
+    seg = max(1, n_frames // 4)
+    t0 = time.perf_counter()
+    marks = []
+    last = None
+    for i in range(n_frames):
+        last = s._step(s._put(raw))
+        if (i + 1) % seg == 0:
+            jax.block_until_ready(last)
+            marks.append(time.perf_counter() - t0)
+    segments = [marks[0]] + [b - a for a, b in zip(marks, marks[1:])]
+    sustained = seg / min(segments[1:]) if len(segments) > 1 else seg / segments[0]
+    return {
+        "frames": n_frames,
+        "total_s": marks[-1],
+        "avg_fps": n_frames / marks[-1],
+        "sustained_fps": sustained,
+        "sustained_mpix_s": sustained * w * h / 1e6,
+        "segment_s": [round(x, 2) for x in segments],
+    }
+
+
 def profile_trace(out_dir: str, qp: int = 35) -> str:
     """Capture a jax.profiler trace of one 1080p streaming step (the
     observability hook; reference has only chrono brackets, main.cu:41-45)."""
@@ -329,6 +359,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_table(), indent=2))
     elif "--4k" in sys.argv:
         print(json.dumps(bench_4k_multistream(), indent=2))
+    elif "--soak" in sys.argv:
+        print(json.dumps(soak(), indent=2))
     elif "--autotune" in sys.argv:
         print(json.dumps(autotune_blocks(), indent=2))
     elif "--profile" in sys.argv:
