@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .filters import chroma_edge_filter, luma_edge_filter
+from .filters import chroma_edge_filter_planes, luma_edge_filter_planes
 from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
 
 # (p_coords, q_coords) per phase; entries are (tile_row, tile_col) as a
@@ -50,27 +50,28 @@ _PHASE_ORDER = ("upper_vert", "lower_vert", "left_hor", "right_hor")
 
 
 def _apply_phase(planes, phase, bs_mask, beta, tc, chroma, dtype):
-    """Run one edge phase in place on the 8x8 list of (By, Bx) planes."""
+    """Run one edge phase in place on the 8x8 list of (By, Bx) planes.
+
+    Plane references are passed as nested lists straight into the filter
+    core -- no stacked intermediates, so neither XLA nor Mosaic ever
+    materializes a (4, nj, By, Bx) relayout.
+    """
     p_at, q_at = _SEGMENT_GEOMETRY[phase]
     nj = 2 if chroma else 4
-    p = jnp.stack(
-        [jnp.stack([planes[p_at(r, j)[0]][p_at(r, j)[1]] for j in range(nj)]) for r in range(4)]
-    )
-    q = jnp.stack(
-        [jnp.stack([planes[q_at(r, j)[0]][q_at(r, j)[1]] for j in range(nj)]) for r in range(4)]
-    )
+    p = [[planes[p_at(r, j)[0]][p_at(r, j)[1]] for j in range(nj)] for r in range(4)]
+    q = [[planes[q_at(r, j)[0]][q_at(r, j)[1]] for j in range(nj)] for r in range(4)]
     if chroma:
-        new_p, new_q = chroma_edge_filter(p, q, bs_mask, tc, dtype=dtype)
+        new_p, new_q = chroma_edge_filter_planes(p, q, bs_mask, tc, dtype=dtype)
         touched = 1
     else:
-        new_p, new_q = luma_edge_filter(p, q, bs_mask, beta, tc, dtype=dtype)
+        new_p, new_q = luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=dtype)
         touched = 3
     for r in range(4):
         for j in range(touched):
             pr, pc = p_at(r, j)
-            planes[pr][pc] = new_p[r, j]
+            planes[pr][pc] = new_p[r][j]
             qr, qc = q_at(r, j)
-            planes[qr][qc] = new_q[r, j]
+            planes[qr][qc] = new_q[r][j]
 
 
 def deblock_planes_core(planes, bs_maps, beta, tc, chroma=False, dtype=jnp.int32):

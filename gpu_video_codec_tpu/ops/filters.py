@@ -1,7 +1,7 @@
 """Vectorized, branchless HEVC deblocking edge filters.
 
 This is the spec layer: the per-4-row-segment filter math of the reference
-(cpu.h:1074-1488), re-expressed as masked elementwise int32 arithmetic over
+(cpu.h:1074-1488), re-expressed as masked elementwise integer arithmetic over
 arbitrary batches of segments.  The same functions run:
 
 * under `jax.jit` on whole-frame tile-plane batches (ops/deblock.py),
@@ -11,13 +11,19 @@ arbitrary batches of segments.  The same functions run:
 Conventions
 -----------
 A luma segment is 4 filter rows x 8 pixels across the edge:
-    p[r, j] = j-th pixel on the P side of row r (j = distance from the edge),
-    q[r, j] = j-th pixel on the Q side.
-Arrays are int32 shaped (4, 4, *B) for luma and (4, 2, *B) for chroma, where
-B is any batch shape (e.g. the (By, Bx) tile grid).  All arithmetic is signed
-32-bit with arithmetic right shift, matching the reference's `int` math
-(cpu.h:1154, 1253 et al.; quirk Q8).
+    p[r][j] = j-th pixel on the P side of row r (j = distance from the edge),
+    q[r][j] = j-th pixel on the Q side.
+The core functions (`*_planes`) take nested lists of per-(row, distance)
+batch arrays -- shape (*B) each, batch rank >= 2 (e.g. the (By, Bx) tile
+grid) -- and return the same structure.  Operating on separate planes rather
+than one stacked (4, 4, *B) array avoids materializing stack/unstack
+relayouts inside the Pallas kernel; the row dimension is fully unrolled.
+Array-shaped wrappers (`luma_edge_filter`, `chroma_edge_filter`) exist for
+convenience and tests.
 
+All arithmetic is signed 32-bit (or the caller's `dtype` -- see
+`luma_edge_filter` for the int16 bit-exactness argument) with arithmetic
+right shift, matching the reference's `int` math (cpu.h:1154, 1253; quirk Q8).
 The reference's `if` cascades become masks; outputs equal inputs wherever a
 gate is off, which is exactly the reference's in-place no-write behavior.
 """
@@ -62,138 +68,158 @@ def _thr(value, dtype):
     return jnp.broadcast_to(jnp.asarray(value, jnp.int32), (1, 1)).astype(dtype)
 
 
+def _second_deriv(a):
+    """|x2 - 2*x1 + x0| for one side-row a = [x0, x1, x2, ...]."""
+    return _iabs(a[2] - 2 * a[1] + a[0])
+
+
+def luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=jnp.int32):
+    """Luma edge dispatch on nested-list planes (cpu.h:1359-1429).
+
+    p, q: 4x4 nested lists [row][dist] of `dtype` batch arrays (*B each).
+    bs_mask: bool (*B) (True where `BS > 0`, cpu.h:164).  beta, tc: int32
+    scalars.  Returns (new_p, new_q) nested lists; distance-3 entries are
+    the input arrays unchanged.
+    """
+    # ---- shared second-derivative magnitudes (rows 0 and 3) --------------
+    # used by cond1 (cpu.h:1086), cond2 (cpu.h:1099) and cond5/6 (cpu.h:1245)
+    dp0, dp3 = _second_deriv(p[0]), _second_deriv(p[3])
+    dq0, dq3 = _second_deriv(q[0]), _second_deriv(q[3])
+
+    cond1 = (dp0 + dp3 + dq0 + dq3) < _thr(beta, dtype)
+
+    beta8 = _thr(beta // 8, dtype)
+    cond2 = ((dp0 + dq0) < beta8) & ((dp3 + dq3) < beta8)            # cpu.h:1099-1100
+    cond3 = ((_iabs(p[0][3] - p[0][0]) + _iabs(q[0][0] - q[0][3])) < beta8) & (
+        (_iabs(p[3][3] - p[3][0]) + _iabs(q[3][0] - q[3][3])) < beta8
+    )                                                                 # cpu.h:1104-1105
+    tc52 = _thr((5 * tc) // 2, dtype)
+    cond4 = (_iabs(p[0][0] - q[0][0]) < tc52) & (_iabs(p[3][0] - q[3][0]) < tc52)  # cpu.h:1109
+
+    gate = bs_mask & cond1
+    use_strong = gate & (cond2 & cond3 & cond4)   # cpu.h:1394
+    use_normal = gate & ~(cond2 & cond3 & cond4)  # cpu.h:1413
+
+    c = _thr(2 * tc, dtype)          # cpu.h:1191, 1235
+    c2 = _thr(tc // 2, dtype)        # cpu.h:1236
+    beta316 = _thr((3 * beta) // 16, dtype)
+    tc10 = _thr(10 * tc, dtype)
+    cond5 = (dp0 + dp3) < beta316    # cpu.h:1245
+    cond6 = (dq0 + dq3) < beta316    # cpu.h:1249
+
+    new_p = [[None] * 4 for _ in range(4)]
+    new_q = [[None] * 4 for _ in range(4)]
+    for r in range(4):
+        p0, p1, p2, p3 = p[r]
+        q0, q1, q2, q3 = q[r]
+
+        # strong filter deltas (cpu.h:1152-1199)
+        s0p = _clip1(_asr(p2 + 2 * p1 - 6 * p0 + 2 * q0 + q1 + 4, 3), c)
+        s1p = _clip1(_asr(p2 - 3 * p1 + p0 + q0 + 2, 2), c)
+        s2p = _clip1(_asr(2 * p3 - 5 * p2 + p1 + p0 + q0 + 4, 3), c)
+        s0q = _clip1(_asr(q2 + 2 * q1 - 6 * q0 + 2 * p0 + p1 + 4, 3), c)
+        s1q = _clip1(_asr(q2 - 3 * q1 + q0 + p0 + 2, 2), c)
+        s2q = _clip1(_asr(2 * q3 - 5 * q2 + q1 + q0 + p0 + 4, 3), c)
+
+        # normal filter (cpu.h:1252-1275): per-row |delta0| gate
+        delta0 = _asr(9 * (q0 - p0) - 3 * (q1 - p1) + 8, 4)
+        row_gate = _iabs(delta0) < tc10
+        big_d = _clip1(delta0, c)
+        dp1 = _clip1(_asr(_asr(p2 + p0 + 1, 1) - p1 + big_d, 1), c2)
+        dq1 = _clip1(_asr(_asr(q2 + q0 + 1, 1) - q1 - big_d, 1), c2)
+
+        nrow = use_normal & row_gate
+        new_p[r][0] = jnp.where(use_strong, _clip2(p0 + s0p),
+                                jnp.where(nrow, _clip2(p0 + big_d), p0))
+        new_p[r][1] = jnp.where(use_strong, _clip2(p1 + s1p),
+                                jnp.where(nrow & cond5, _clip2(p1 + dp1), p1))
+        new_p[r][2] = jnp.where(use_strong, _clip2(p2 + s2p), p2)
+        new_p[r][3] = p3
+        new_q[r][0] = jnp.where(use_strong, _clip2(q0 + s0q),
+                                jnp.where(nrow, _clip2(q0 - big_d), q0))
+        new_q[r][1] = jnp.where(use_strong, _clip2(q1 + s1q),
+                                jnp.where(nrow & cond6, _clip2(q1 + dq1), q1))
+        new_q[r][2] = jnp.where(use_strong, _clip2(q2 + s2q), q2)
+        new_q[r][3] = q3
+    return new_p, new_q
+
+
+def chroma_edge_filter_planes(p, q, bs_mask, tc, dtype=jnp.int32):
+    """Chroma edge filter on nested-list planes (cpu.h:1431-1488).
+
+    p, q: 4x2 nested lists [row][dist] of `dtype` batch arrays.  bs_mask:
+    bool (*B) (True where BS == 2, cpu.h:463 -- chroma gates on equality,
+    unlike luma's `> 0`).  Only distance-0 entries change.  The P/Q delta
+    asymmetry of the reference (delta_q computed with operands swapped then
+    *subtracted*, cpu.h:1453-1461, 1475-1476) is replicated exactly.
+    """
+    tc_v = _thr(tc, dtype)
+    new_p = [[None, p[r][1]] for r in range(4)]
+    new_q = [[None, q[r][1]] for r in range(4)]
+    for r in range(4):
+        p0, p1 = p[r]
+        q0, q1 = q[r]
+        dp = _clip1(_asr(4 * (p0 - q0) + p1 - q1 + 4, 3), tc_v)  # cpu.h:1453, 1464
+        dq = _clip1(_asr(4 * (q0 - p0) + q1 - p1 + 4, 3), tc_v)  # cpu.h:1458, 1469
+        new_p[r][0] = jnp.where(bs_mask, _clip2(p0 + dp), p0)    # cpu.h:1475
+        new_q[r][0] = jnp.where(bs_mask, _clip2(q0 - dq), q0)    # cpu.h:1476
+    return new_p, new_q
+
+
+# ---------------------------------------------------------------------------
+# Array-shaped wrappers (tests / external callers)
+# ---------------------------------------------------------------------------
+
 def luma_segment_decisions(p, q, beta, tc, dtype=jnp.int32):
     """Per-segment filter decisions from rows 0 and 3 (cpu.h:1074-1114).
 
-    beta/tc: int32 scalars (python ints or traced).  p/q: `dtype` arrays.
-    Returns (cond1, strong): cond1 gates any filtering (local adaptivity),
-    strong selects the strong filter (conditions 2 AND 3 AND 4).  Shapes *B.
+    p, q: (4, 4, *B) arrays.  Returns (cond1, strong).
     """
-    d_p = _iabs(p[0, 2] - 2 * p[0, 1] + p[0, 0]) + _iabs(p[3, 2] - 2 * p[3, 1] + p[3, 0])
-    d_q = _iabs(q[0, 2] - 2 * q[0, 1] + q[0, 0]) + _iabs(q[3, 2] - 2 * q[3, 1] + q[3, 0])
-    # condition (1), cpu.h:1086-1088
-    cond1 = (d_p + d_q) < _thr(beta, dtype)
-
+    pl = [[p[r, j].astype(dtype) for j in range(4)] for r in range(4)]
+    ql = [[q[r, j].astype(dtype) for j in range(4)] for r in range(4)]
+    dp0, dp3 = _second_deriv(pl[0]), _second_deriv(pl[3])
+    dq0, dq3 = _second_deriv(ql[0]), _second_deriv(ql[3])
+    cond1 = (dp0 + dp3 + dq0 + dq3) < _thr(beta, dtype)
     beta8 = _thr(beta // 8, dtype)
-    # condition (2), cpu.h:1099-1100
-    cond2 = (
-        (_iabs(p[0, 2] - 2 * p[0, 1] + p[0, 0]) + _iabs(q[0, 2] - 2 * q[0, 1] + q[0, 0])) < beta8
-    ) & (
-        (_iabs(p[3, 2] - 2 * p[3, 1] + p[3, 0]) + _iabs(q[3, 2] - 2 * q[3, 1] + q[3, 0])) < beta8
+    cond2 = ((dp0 + dq0) < beta8) & ((dp3 + dq3) < beta8)
+    cond3 = ((_iabs(pl[0][3] - pl[0][0]) + _iabs(ql[0][0] - ql[0][3])) < beta8) & (
+        (_iabs(pl[3][3] - pl[3][0]) + _iabs(ql[3][0] - ql[3][3])) < beta8
     )
-    # condition (3), cpu.h:1104-1105
-    cond3 = ((_iabs(p[0, 3] - p[0, 0]) + _iabs(q[0, 0] - q[0, 3])) < beta8) & (
-        (_iabs(p[3, 3] - p[3, 0]) + _iabs(q[3, 0] - q[3, 3])) < beta8
-    )
-    # condition (4), cpu.h:1109-1110; 5*tc/2 in C++ int division
     tc52 = _thr((5 * tc) // 2, dtype)
-    cond4 = (_iabs(p[0, 0] - q[0, 0]) < tc52) & (_iabs(p[3, 0] - q[3, 0]) < tc52)
-
+    cond4 = (_iabs(pl[0][0] - ql[0][0]) < tc52) & (_iabs(pl[3][0] - ql[3][0]) < tc52)
     return cond1, cond2 & cond3 & cond4
 
 
-def _strong_deltas(x0, x1, x2, x3, y0, y1, c):
-    """Strong-filter deltas for one side (cpu.h:1152-1199), vectorized over rows.
-
-    x* = own side pixels at distance 0..3, y0/y1 = opposite side at 0..1.
-    Returns clipped (d0, d1, d2) for distances 0..2.
-    """
-    d0 = _clip1(_asr(x2 + 2 * x1 - 6 * x0 + 2 * y0 + y1 + 4, 3), c)  # cpu.h:1154
-    d1 = _clip1(_asr(x2 - 3 * x1 + x0 + y0 + 2, 2), c)               # cpu.h:1160
-    d2 = _clip1(_asr(2 * x3 - 5 * x2 + x1 + x0 + y0 + 4, 3), c)      # cpu.h:1166
-    return d0, d1, d2
-
-
 def luma_edge_filter(p, q, bs_mask, beta, tc, dtype=jnp.int32):
-    """Full luma edge dispatch for a batch of segments (cpu.h:1359-1429).
+    """Array wrapper over luma_edge_filter_planes.
 
-    p, q: integer (4 rows, 4 dists, *B).  bs_mask: bool *B (True where the
-    segment's BS gate passes -- `BS > 0` for luma, cpu.h:164).
-    beta, tc: int scalars (python ints or traced, same dtype as `dtype`).
-    dtype: compute dtype.  int32 matches the reference's C++ `int` math; the
-    default fast path may use int16, which is bit-identical here because
-    every intermediate fits: the largest magnitudes are the strong-filter
-    delta numerators (|.| <= 6*255 + 2*255 + 255 + 4 < 2**12) and the normal
-    filter's 9*(q0-p0) - 3*(q1-p1) + 8 (|.| <= 12*255 + 8 < 2**12), far
-    inside int16 range -- while int16 doubles VPU lane throughput on TPU.
+    p, q: integer (4 rows, 4 dists, *B); bs_mask: bool (*B); beta/tc int32
+    scalars (python ints or traced).
+    dtype: compute dtype.  int32 matches the reference's C++ `int` math; an
+    int16 path is bit-identical (every intermediate fits: the largest
+    magnitudes are the strong-filter numerators, |.| <= 6*255 + 2*255 + 255
+    + 4 < 2**12, and 9*(q0-p0) - 3*(q1-p1) + 8, |.| <= 12*255 + 8 < 2**12)
+    but the current Mosaic compiler does not legalize int16 vector ALU ops,
+    so int32 stays the on-TPU default.
     Returns (new_p, new_q), same shapes; distance-3 pixels never change.
     """
-    p = p.astype(dtype)
-    q = q.astype(dtype)
-    cond1, strong = luma_segment_decisions(p, q, beta, tc, dtype=dtype)
-    gate = bs_mask & cond1
-    use_strong = gate & strong      # cpu.h:1394
-    use_normal = gate & ~strong     # cpu.h:1413
-
-    c = _thr(2 * tc, dtype)  # cpu.h:1191, 1235
-
-    # ---- strong filter (cpu.h:1128-1213): all rows, 3 pixels each side ----
-    sp0, sp1, sp2 = _strong_deltas(p[:, 0], p[:, 1], p[:, 2], p[:, 3], q[:, 0], q[:, 1], c)
-    sq0, sq1, sq2 = _strong_deltas(q[:, 0], q[:, 1], q[:, 2], q[:, 3], p[:, 0], p[:, 1], c)
-    strong_p = jnp.stack([_clip2(p[:, 0] + sp0), _clip2(p[:, 1] + sp1), _clip2(p[:, 2] + sp2)], axis=1)
-    strong_q = jnp.stack([_clip2(q[:, 0] + sq0), _clip2(q[:, 1] + sq1), _clip2(q[:, 2] + sq2)], axis=1)
-
-    # ---- normal filter (cpu.h:1215-1357): per-row gate, 2 pixels each side ----
-    c2 = _thr(tc // 2, dtype)  # cpu.h:1236
-    beta316 = _thr((3 * beta) // 16, dtype)
-    # cond5/cond6 per segment from rows 0 and 3 (cpu.h:1243-1249)
-    cond5 = (_iabs(p[0, 2] - 2 * p[0, 1] + p[0, 0]) + _iabs(p[3, 2] - 2 * p[3, 1] + p[3, 0])) < beta316
-    cond6 = (_iabs(q[0, 2] - 2 * q[0, 1] + q[0, 0]) + _iabs(q[3, 2] - 2 * q[3, 1] + q[3, 0])) < beta316
-
-    # per-row delta0 and gate |delta0| < 10*tc (cpu.h:1253-1254)
-    delta0 = _asr(9 * (q[:, 0] - p[:, 0]) - 3 * (q[:, 1] - p[:, 1]) + 8, 4)
-    row_gate = _iabs(delta0) < _thr(10 * tc, dtype)
-    big_d = _clip1(delta0, c)
-    dp1 = _clip1(_asr(_asr(p[:, 2] + p[:, 0] + 1, 1) - p[:, 1] + big_d, 1), c2)  # cpu.h:1259-1260
-    dq1 = _clip1(_asr(_asr(q[:, 2] + q[:, 0] + 1, 1) - q[:, 1] - big_d, 1), c2)  # cpu.h:1264-1265
-    normal_p0 = _clip2(p[:, 0] + big_d)   # cpu.h:1268
-    normal_q0 = _clip2(q[:, 0] - big_d)   # cpu.h:1269
-    normal_p1 = _clip2(p[:, 1] + dp1)     # cpu.h:1272 (gated by cond5)
-    normal_q1 = _clip2(q[:, 1] + dq1)     # cpu.h:1275 (gated by cond6)
-
-    # ---- masked select; untouched wherever every gate is off ----
-    def sel(use_s, strong_v, use_n, normal_v, orig):
-        return jnp.where(use_s, strong_v, jnp.where(use_n, normal_v, orig))
-
-    nrow = use_normal & row_gate
-    new_p = jnp.stack(
-        [
-            sel(use_strong, strong_p[:, 0], nrow, normal_p0, p[:, 0]),
-            sel(use_strong, strong_p[:, 1], nrow & cond5, normal_p1, p[:, 1]),
-            sel(use_strong, strong_p[:, 2], jnp.zeros_like(nrow), p[:, 2], p[:, 2]),
-            p[:, 3],
-        ],
-        axis=1,
-    )
-    new_q = jnp.stack(
-        [
-            sel(use_strong, strong_q[:, 0], nrow, normal_q0, q[:, 0]),
-            sel(use_strong, strong_q[:, 1], nrow & cond6, normal_q1, q[:, 1]),
-            sel(use_strong, strong_q[:, 2], jnp.zeros_like(nrow), q[:, 2], q[:, 2]),
-            q[:, 3],
-        ],
-        axis=1,
-    )
+    pl = [[p[r, j].astype(dtype) for j in range(4)] for r in range(4)]
+    ql = [[q[r, j].astype(dtype) for j in range(4)] for r in range(4)]
+    np_, nq_ = luma_edge_filter_planes(pl, ql, bs_mask, beta, tc, dtype=dtype)
+    new_p = jnp.stack([jnp.stack(row) for row in np_])
+    new_q = jnp.stack([jnp.stack(row) for row in nq_])
     return new_p, new_q
 
 
 def chroma_edge_filter(p, q, bs_mask, tc, dtype=jnp.int32):
-    """Chroma edge filter for a batch of segments (cpu.h:1431-1488).
+    """Array wrapper over chroma_edge_filter_planes.
 
-    p, q: integer (4 rows, 2 dists, *B).  bs_mask: bool *B (True where BS == 2,
-    cpu.h:463 -- note chroma gates on equality, unlike luma's `> 0`).
-    Only distance-0 pixels change.  The P/Q delta asymmetry of the reference
-    (delta_q computed with operands swapped then *subtracted*, cpu.h:1453-1461,
-    1475-1476) is replicated exactly.  See luma_edge_filter for the int16
-    bit-exactness argument (chroma's largest intermediate is 4*255 + 255 + 4).
+    p, q: integer (4 rows, 2 dists, *B); bs_mask: bool (*B, True where
+    BS == 2); tc: int32 scalar.  Only distance-0 pixels change.
     """
-    p = p.astype(dtype)
-    q = q.astype(dtype)
-    tc = _thr(tc, dtype)
-    dp = _clip1(_asr(4 * (p[:, 0] - q[:, 0]) + p[:, 1] - q[:, 1] + 4, 3), tc)  # cpu.h:1453, 1464
-    dq = _clip1(_asr(4 * (q[:, 0] - p[:, 0]) + q[:, 1] - p[:, 1] + 4, 3), tc)  # cpu.h:1458, 1469
-    new_p0 = jnp.where(bs_mask, _clip2(p[:, 0] + dp), p[:, 0])  # cpu.h:1475
-    new_q0 = jnp.where(bs_mask, _clip2(q[:, 0] - dq), q[:, 0])  # cpu.h:1476
-    new_p = jnp.stack([new_p0, p[:, 1]], axis=1)
-    new_q = jnp.stack([new_q0, q[:, 1]], axis=1)
+    pl = [[p[r, j].astype(dtype) for j in range(2)] for r in range(4)]
+    ql = [[q[r, j].astype(dtype) for j in range(2)] for r in range(4)]
+    np_, nq_ = chroma_edge_filter_planes(pl, ql, bs_mask, tc, dtype=dtype)
+    new_p = jnp.stack([jnp.stack(row) for row in np_])
+    new_q = jnp.stack([jnp.stack(row) for row in nq_])
     return new_p, new_q
