@@ -4,3 +4,4 @@ from .mesh import (  # noqa: F401
     deblock_batch_sharded_jit,
     make_mesh,
 )
+from .multistream import MultiStreamDeblocker  # noqa: F401

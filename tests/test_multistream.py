@@ -1,0 +1,41 @@
+"""Multi-stream mesh deblocking (config 5) on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.parallel import MultiStreamDeblocker, make_mesh
+from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
+
+def _raw(rng, w, h):
+    return rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+
+
+def test_multistream_matches_golden(rng):
+    w, h, qp = 64, 48, 35
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 4, w, h, qp)
+    streams = [[_raw(rng, w, h) for _ in range(3)] for _ in range(4)]
+    bs = BoundaryStrength.intra_default(w, h)
+    steps = list(ms.run(streams))
+    assert len(steps) == 3 and all(len(s) == 4 for s in steps)
+    for t, outs in enumerate(steps):
+        for i, out in enumerate(outs):
+            frame = planes_from_yv12_bytes(streams[i][t].tobytes(), w, h)
+            gold = deblock_frame_golden(frame, bs, qp)
+            assert np.array_equal(
+                out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
+            ), (t, i)
+
+
+def test_multistream_validation(rng):
+    mesh = make_mesh(2, 4)
+    with pytest.raises(ValueError):
+        MultiStreamDeblocker(mesh, 3, 64, 48, 35)  # 3 % data-axis(2) != 0
+    ms = MultiStreamDeblocker(mesh, 2, 64, 48, 35)
+    with pytest.raises(ValueError):
+        ms.step([_raw(rng, 64, 48)])  # wrong stream count
+    with pytest.raises(ValueError):
+        ms.step([np.zeros(5, np.uint8)] * 2)  # wrong frame size
