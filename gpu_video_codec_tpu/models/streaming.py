@@ -75,13 +75,21 @@ class StreamingDeblocker:
         self.width, self.height, self.qp = width, height, int(qp)
         self.depth = max(1, depth)
         self.frame_bytes = 3 * width * height // 2
-        bs = bs or BoundaryStrength.intra_default(width, height)
-        self._lm = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
-        self._cm = tuple(jnp.asarray(m) for m in chroma_segment_maps(bs))
         self._beta = jnp.int32(get_beta(qp))
         self._tc = jnp.int32(get_tc(qp))
         self._luma_only = luma_only
         self._backend = backend
+        self.update_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
+
+    def update_boundary_strength(self, bs: BoundaryStrength) -> None:
+        """Install new BS arrays mid-stream (the streaming equivalent of the
+        reference's SetBoundaryStrenght, cpu.h:120-132).  Segment gate maps
+        are re-derived and re-uploaded; geometry stays fixed so the compiled
+        step is reused."""
+        if (bs.width, bs.height) != (self.width, self.height):
+            raise ValueError("BoundaryStrength geometry mismatch")
+        self._lm = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
+        self._cm = tuple(jnp.asarray(m) for m in chroma_segment_maps(bs))
 
     def _step(self, dev_buf):
         return _deblock_yv12_packed(

@@ -137,6 +137,37 @@ def segment_bs_maps(
     return ver1, ver2, hor1, hor2
 
 
+def segment_bs_maps_device(flat_vert, flat_hor, lookup_w: int,
+                           num_tiles_y: int, num_tiles_x: int,
+                           gate_ny: int, gate_nx: int):
+    """Device-side (jnp) twin of segment_bs_maps, for pipelines that stream
+    per-frame BS arrays into HBM and derive the per-segment gate maps inside
+    the jit graph (the BS arrays are tiny; the gather is negligible next to
+    the filter).  Identical semantics incl. the OOB->0 rule.
+    """
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    sv = lookup_w // b + 1
+    sh = lookup_w // b
+    by = jnp.arange(num_tiles_y)[:, None]
+    bx = jnp.arange(num_tiles_x)[None, :]
+    fv = jnp.asarray(flat_vert, jnp.uint8)
+    fh = jnp.asarray(flat_hor, jnp.uint8)
+
+    def look(flat, idx, valid):
+        if flat.size == 0:
+            return jnp.zeros(jnp.broadcast_shapes(idx.shape, valid.shape), jnp.uint8)
+        ok = valid & (idx >= 0) & (idx < flat.size)
+        return jnp.where(ok, flat[jnp.clip(idx, 0, flat.size - 1)], 0).astype(jnp.uint8)
+
+    ver1 = look(fv, (by - 1) * sv + bx, by > 0)
+    ver2 = look(fv, by * sv + bx, by < gate_ny - 1)
+    hor1 = look(fh, by * sh + (bx - 1), bx > 0)
+    hor2 = look(fh, by * sh + bx, bx < gate_nx - 1)
+    return ver1, ver2, hor1, hor2
+
+
 def luma_segment_maps(bs: BoundaryStrength) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     b = SAMPLE_BLOCK_SIZE
     ny = bs.height // b + 1  # luma extended tile counts (cpu.h:141-142)

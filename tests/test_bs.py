@@ -114,3 +114,28 @@ def test_minimal_8px_frame_does_not_crash():
         assert np.array_equal(getattr(gold, name), getattr(out, name)), name
     # chroma must be untouched (all BS reads OOB -> 0)
     assert np.array_equal(gold.u, frame.u)
+
+
+def test_device_side_map_derivation_matches_host(rng):
+    """segment_bs_maps_device (jnp, in-graph derivation) == host numpy maps."""
+    import numpy as np
+
+    from gpu_video_codec_tpu.utils.bs import (
+        chroma_segment_maps, luma_segment_maps, segment_bs_maps_device,
+    )
+
+    W, H = 64, 48
+    bs = BoundaryStrength.intra_default(W, H)
+    bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+                rng.integers(0, 3, bs.hor.size, dtype=np.uint8))
+    ny, nx = H // 8 + 1, W // 8 + 1
+    host = luma_segment_maps(bs)
+    dev = segment_bs_maps_device(bs.vert, bs.hor, W, ny, nx, ny, nx)
+    for a, b in zip(host, dev):
+        assert np.array_equal(a, np.asarray(b))
+    cny, cnx = H // 16 + 1, W // 16 + 1
+    host_c = chroma_segment_maps(bs)
+    dev_c = segment_bs_maps_device(bs.chroma_vert, bs.chroma_hor, W // 2,
+                                   cny, cnx, ny, nx)
+    for a, b in zip(host_c, dev_c):
+        assert np.array_equal(a, np.asarray(b))

@@ -75,3 +75,22 @@ def test_measurement_accepts_bytes(rng):
 def test_streaming_rejects_bad_dims():
     with pytest.raises(ValueError):
         StreamingDeblocker(100, 50, 35, backend="jnp")
+
+
+def test_update_boundary_strength_midstream(rng):
+    """Swapping BS mid-stream changes behavior without recompiling geometry."""
+    w, h, qp = 64, 48, 35
+    raw = _raw_frame(rng, w, h)
+    s = StreamingDeblocker(w, h, qp, backend="jnp")
+    (filtered,) = list(s.run([raw]))
+    assert not np.array_equal(filtered, raw)
+    # all-zero BS -> no-op
+    bs0 = BoundaryStrength.intra_default(w, h)
+    bs0.set_luma(np.zeros(bs0.vert.size, np.uint8), np.zeros(bs0.hor.size, np.uint8))
+    bs0.set_chroma(np.zeros(bs0.chroma_vert.size, np.uint8),
+                   np.zeros(bs0.chroma_hor.size, np.uint8))
+    s.update_boundary_strength(bs0)
+    (out0,) = list(s.run([raw]))
+    assert np.array_equal(out0, raw)
+    with pytest.raises(ValueError):
+        s.update_boundary_strength(BoundaryStrength.intra_default(32, 32))
