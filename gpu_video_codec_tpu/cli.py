@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bench", action="store_true",
                    help="add a per-frame timing breakdown to the JSON result "
                         "(kernel vs copy on device backends, filter time on host backends)")
+    p.add_argument("--streams", type=int,
+                   help="treat INPUT as N concatenated streams processed "
+                        "concurrently over a device mesh (multi-stream mode)")
+    p.add_argument("--mesh", metavar="DATA,SPATIAL",
+                   help="mesh shape for --streams, e.g. 2,4 (default: auto "
+                        "from available devices)")
     p.add_argument("--device-info", action="store_true", help="print device info and exit")
     return p
 
@@ -67,6 +73,57 @@ def _raw_frames(path: str, frame_bytes: int, max_frames: int | None):
                 break
             count += 1
             yield data
+
+
+def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -> dict:
+    """Multi-stream mode: frames of INPUT are assigned round-robin to
+    n_streams concurrent streams and each batch of n_streams frames is
+    deblocked in one mesh-sharded step (BASELINE config 5).  Outputs keep
+    the input's frame order."""
+    import os
+
+    import jax
+
+    from .parallel import MultiStreamDeblocker, default_mesh_shape, make_mesh
+
+    if mesh_spec:
+        n_data, n_spatial = (int(x) for x in mesh_spec.split(","))
+    else:
+        n_data, n_spatial = default_mesh_shape(len(jax.devices()))
+    mesh = make_mesh(n_data, n_spatial)
+    ms = MultiStreamDeblocker(mesh, n_streams, cfg.width, cfg.height, cfg.qp,
+                              backend="jnp", luma_only=cfg.luma_only)
+
+    frame_bytes = 3 * cfg.width * cfg.height // 2
+    n_avail = os.path.getsize(cfg.input) // frame_bytes
+    n = n_avail if cfg.frames is None else min(cfg.frames, n_avail)
+    n -= n % n_streams  # whole batches only in this mode
+    if n == 0:
+        raise ValueError(f"need at least {n_streams} complete frames for --streams {n_streams}")
+
+    sink = open(cfg.output, "wb") if cfg.output else None
+    done = 0
+    try:
+        t0 = time.perf_counter()
+        group: list[bytes] = []
+        for raw in _raw_frames(cfg.input, frame_bytes, n):
+            group.append(raw)
+            if len(group) == n_streams:
+                for out in ms.step(group):
+                    if sink is not None:
+                        sink.write(out.tobytes())
+                done += len(group)
+                group = []
+        dt = time.perf_counter() - t0
+    finally:
+        if sink is not None:
+            sink.close()
+    return {
+        "frames": done, "streams": n_streams,
+        "mesh": {"data": n_data, "spatial": n_spatial},
+        "backend": "jnp", "qp": cfg.qp,
+        "seconds": dt, "fps": done / dt,
+    }
 
 
 def run(cfg: DeblockConfig, bench: bool = False) -> dict:
@@ -150,7 +207,10 @@ def main(argv: list[str] | None = None) -> int:
             output=args.output, backend=args.backend, luma_only=args.luma_only,
             frames=args.frames, num_threads=args.num_threads, depth=args.depth,
         ).validate()
-        result = run(cfg, bench=args.bench)
+        if args.streams:
+            result = run_multistream(cfg, args.streams, args.mesh)
+        else:
+            result = run(cfg, bench=args.bench)
     except (ValueError, FileNotFoundError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

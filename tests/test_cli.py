@@ -98,3 +98,24 @@ def test_cli_bench_native(tmp_path, testdata_dir, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out)
     assert res["timing"]["filter_us"] > 0
+
+
+def test_cli_multistream_mode(tmp_path, testdata_dir, capsys):
+    """--streams N: mesh-sharded multi-stream processing from the CLI."""
+    inp = os.path.join(testdata_dir, "mother-daughter_352x288_yv12.yuv")
+    with open(inp, "rb") as f:
+        raw = f.read()
+    stream = tmp_path / "s.yuv"
+    stream.write_bytes(raw * 4)
+    out = str(tmp_path / "out.yuv")
+    rc = main(["--input", str(stream), "-W", "352", "-H", "288", "--qp", "35",
+               "--output", out, "--streams", "2", "--mesh", "2,4"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["frames"] == 4 and res["streams"] == 2
+    gold = yv12_bytes_from_planes(
+        deblock_frame_golden(read_yv12(inp, 352, 288),
+                             BoundaryStrength.intra_default(352, 288), 35)
+    )
+    with open(out, "rb") as f:
+        assert f.read() == gold * 4
