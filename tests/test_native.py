@@ -75,3 +75,14 @@ def test_native_luma_only(rng):
     assert np.array_equal(out.u, frame.u) and np.array_equal(out.v, frame.v)
     gold = deblock_frame_golden(frame, bs, 35, luma_only=True)
     assert np.array_equal(out.y, gold.y)
+
+
+def test_native_error_code(rng):
+    """The C ABI returns nonzero for invalid geometry; the binding raises."""
+    import pytest as _pytest
+
+    frame = _frame(rng, 64, 48)
+    bs = BoundaryStrength.intra_default(64, 48)
+    bad = FramePlanes(frame.y, frame.u, frame.v, 50, 50)  # not %8
+    with _pytest.raises(native.NativeRuntimeError):
+        native.deblock_frame_native(bad, bs, 35)
