@@ -85,6 +85,15 @@ class ReadYuvFrame:
         return self._frame
 
 
+def GetTpuDeviceInfo() -> dict:
+    """GetGpuDeviceInfo equivalent (main.cu:92-107): device properties of
+    every visible accelerator, returned structured (the reference printed
+    name/globalMem/SM-count/warp size to stdout)."""
+    from .cli import device_info
+
+    return device_info()
+
+
 def ExecuteCpu(input_file: str, output_file: str, width: int, height: int,
                Qp: int, thread_counts=(1, 2, 4, 6, 8)) -> dict:
     """Reference ExecuteCpu parity (main.cu:36-83): run the host CPU filter

@@ -82,3 +82,10 @@ def test_execute_tpu_parity(tmp_path, testdata_dir):
     )
     with open(out, "rb") as f:
         assert f.read() == yv12_bytes_from_planes(gold)
+
+
+def test_get_tpu_device_info():
+    from gpu_video_codec_tpu.compat import GetTpuDeviceInfo
+
+    info = GetTpuDeviceInfo()
+    assert info["num_devices"] >= 1 and info["devices"]

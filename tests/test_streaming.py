@@ -94,3 +94,31 @@ def test_update_boundary_strength_midstream(rng):
     assert np.array_equal(out0, raw)
     with pytest.raises(ValueError):
         s.update_boundary_strength(BoundaryStrength.intra_default(32, 32))
+
+
+def test_run_frames_wrapper(rng):
+    """FramePlanes-in/FramePlanes-out convenience path."""
+    from gpu_video_codec_tpu.utils.yuv import extend_plane
+
+    w, h = 64, 48
+    frames = [
+        FramePlanes(
+            extend_plane(rng.integers(0, 256, (h, w), dtype=np.uint8)),
+            extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+            extend_plane(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+            w, h,
+        )
+        for _ in range(2)
+    ]
+    s = StreamingDeblocker(w, h, 35, backend="jnp")
+    outs = list(s.run_frames(frames))
+    bs = BoundaryStrength.intra_default(w, h)
+    for f, o in zip(frames, outs):
+        gold = deblock_frame_golden(f, bs, 35)
+        # interiors must match (padding of `o` is freshly zero by construction)
+        from gpu_video_codec_tpu.utils.yuv import interior
+        for name in ("y", "u", "v"):
+            ga = getattr(gold, name)
+            oa = getattr(o, name)
+            hh, ww = ga.shape[0] - 8, ga.shape[1] - 8
+            assert np.array_equal(interior(ga, hh, ww), interior(oa, hh, ww)), name
