@@ -86,13 +86,17 @@ def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -
 
     from .parallel import MultiStreamDeblocker, default_mesh_shape, make_mesh
 
+    if cfg.backend not in ("jnp", "pallas"):
+        raise ValueError(
+            f"--streams requires a device backend ('jnp' or 'pallas'), got {cfg.backend!r}"
+        )
     if mesh_spec:
         n_data, n_spatial = (int(x) for x in mesh_spec.split(","))
     else:
         n_data, n_spatial = default_mesh_shape(len(jax.devices()))
     mesh = make_mesh(n_data, n_spatial)
     ms = MultiStreamDeblocker(mesh, n_streams, cfg.width, cfg.height, cfg.qp,
-                              backend="jnp", luma_only=cfg.luma_only)
+                              backend=cfg.backend, luma_only=cfg.luma_only)
 
     frame_bytes = 3 * cfg.width * cfg.height // 2
     n_avail = os.path.getsize(cfg.input) // frame_bytes
@@ -121,7 +125,7 @@ def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -
     return {
         "frames": done, "streams": n_streams,
         "mesh": {"data": n_data, "spatial": n_spatial},
-        "backend": "jnp", "qp": cfg.qp,
+        "backend": cfg.backend, "qp": cfg.qp,
         "seconds": dt, "fps": done / dt,
     }
 

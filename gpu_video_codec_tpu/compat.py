@@ -125,7 +125,9 @@ def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
 
     with open(input_file, "rb") as f:
         raw = f.read(3 * width * height // 2)
-    s = StreamingDeblocker(width, height, Qp, backend="pallas")
+    s = StreamingDeblocker(width, height, Qp, backend="pallas",
+                           luma_block=tuple(luma_block),
+                           chroma_block=tuple(chroma_block))
     (out,) = list(s.run([raw]))
     with open(output_file, "wb") as f:
         f.write(out.tobytes())

@@ -34,12 +34,14 @@ import numpy as np
 from ..ops.pallas_kernel import deblock_frame_pallas
 from ..ops.deblock import deblock_frame
 from ..ops.tables import HALF_BLOCK, get_beta, get_tc
-from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
+from ..utils.bs import BoundaryStrength, segment_bs_maps_device
 from ..utils.yuv import FramePlanes, check_dims
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "luma_only", "backend"))
-def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend):
+@functools.partial(jax.jit, static_argnames=("w", "h", "luma_only", "backend",
+                                              "luma_block", "chroma_block"))
+def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
+                         luma_block=(8, 128), chroma_block=(8, 128)):
     """Device-side: packed YV12 uint8 (3wh/2,) -> filtered packed YV12."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
@@ -48,7 +50,8 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend):
     v = buf[w * h + cw * ch :].reshape(ch, cw)
     y, u, v = (jnp.pad(t, p) for t in (y, u, v))  # extended planes, zero pad
     if backend == "pallas":
-        ye, ue, ve = deblock_frame_pallas(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
+        ye, ue, ve = deblock_frame_pallas(y, u, v, lm, cm, beta, tc, luma_only=luma_only,
+                                          luma_block=luma_block, chroma_block=chroma_block)
     else:
         ye, ue, ve = deblock_frame(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
     return jnp.concatenate([
@@ -68,7 +71,9 @@ class StreamingDeblocker:
 
     def __init__(self, width: int, height: int, qp: int, *,
                  backend: str = "pallas", luma_only: bool = False,
-                 depth: int = 2, bs: BoundaryStrength | None = None):
+                 depth: int = 2, bs: BoundaryStrength | None = None,
+                 luma_block: tuple[int, int] = (8, 128),
+                 chroma_block: tuple[int, int] = (8, 128)):
         if backend not in ("pallas", "jnp"):
             raise ValueError(f"streaming backend must be 'pallas' or 'jnp', got {backend!r}")
         check_dims(width, height)  # reference contract (cpu.h:46-48)
@@ -79,23 +84,32 @@ class StreamingDeblocker:
         self._tc = jnp.int32(get_tc(qp))
         self._luma_only = luma_only
         self._backend = backend
+        self._luma_block = tuple(luma_block)
+        self._chroma_block = tuple(chroma_block)
         self.update_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
 
     def update_boundary_strength(self, bs: BoundaryStrength) -> None:
         """Install new BS arrays mid-stream (the streaming equivalent of the
         reference's SetBoundaryStrenght, cpu.h:120-132).  Segment gate maps
-        are re-derived and re-uploaded; geometry stays fixed so the compiled
-        step is reused."""
+        are derived on device via utils.bs.segment_bs_maps_device (the
+        in-graph twin of the host derivation); geometry stays fixed so the
+        compiled step is reused."""
         if (bs.width, bs.height) != (self.width, self.height):
             raise ValueError("BoundaryStrength geometry mismatch")
-        self._lm = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
-        self._cm = tuple(jnp.asarray(m) for m in chroma_segment_maps(bs))
+        b = 8
+        w, h = self.width, self.height
+        ny, nx = h // b + 1, w // b + 1
+        cny, cnx = (h // 2) // b + 1, (w // 2) // b + 1
+        self._lm = tuple(segment_bs_maps_device(bs.vert, bs.hor, w, ny, nx, ny, nx))
+        self._cm = tuple(segment_bs_maps_device(bs.chroma_vert, bs.chroma_hor, w // 2,
+                                                cny, cnx, ny, nx))
 
     def _step(self, dev_buf):
         return _deblock_yv12_packed(
             dev_buf, self._lm, self._cm, self._beta, self._tc,
             w=self.width, h=self.height,
             luma_only=self._luma_only, backend=self._backend,
+            luma_block=self._luma_block, chroma_block=self._chroma_block,
         )
 
     def _host_frame(self, frame) -> np.ndarray:

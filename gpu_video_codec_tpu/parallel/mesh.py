@@ -154,10 +154,16 @@ def _paste_remainder(core, full, ch, cw):
     return jnp.concatenate([rows, full[..., :, cw:]], axis=-1)
 
 
-def deblock_batch_sharded_jit(mesh, *args, luma_only=False, backend="jnp"):
-    """jit-wrapped sharded batch deblock (compiles once per geometry)."""
-    fn = jax.jit(
+@functools.lru_cache(maxsize=32)
+def _sharded_jit(mesh: Mesh, luma_only: bool, backend: str):
+    # one cached jit per (mesh, options); calling jax.jit afresh on every
+    # invocation would defeat the compile cache and retrace each step
+    return jax.jit(
         functools.partial(deblock_batch_sharded, mesh, luma_only=luma_only,
                           backend=backend)
     )
-    return fn(*args)
+
+
+def deblock_batch_sharded_jit(mesh, *args, luma_only=False, backend="jnp"):
+    """jit-wrapped sharded batch deblock (compiles once per geometry/mesh)."""
+    return _sharded_jit(mesh, luma_only, backend)(*args)
