@@ -38,3 +38,19 @@ def test_synthetic_frame_deterministic():
     a = synthetic_frame(64, 48)
     b = synthetic_frame(64, 48)
     assert np.array_equal(a.y, b.y)
+
+
+def test_soak_smoke():
+    from bench.bench_lib import soak
+
+    r = soak(n_frames=8, w=64, h=48)
+    assert r["frames"] == 8 and r["sustained_fps"] > 0
+    assert len(r["segment_s"]) == 4
+
+
+def test_autotune_smoke(monkeypatch):
+    """autotune runs (interpret mode) on a couple of block shapes."""
+    import bench.bench_lib as bl
+
+    r = bl.autotune_blocks(w=64, h=48)
+    assert r["results_us"]
