@@ -39,4 +39,10 @@ class DeblockConfig:
             raise ValueError("qp must be >= 0")
         if self.backend not in BACKENDS:
             raise ValueError(f"backend must be one of {BACKENDS}, got {self.backend!r}")
+        if self.frames is not None and self.frames <= 0:
+            raise ValueError("frames must be positive")
+        if self.depth <= 0:
+            raise ValueError("depth must be positive")
+        if self.num_threads < 0:
+            raise ValueError("num_threads must be >= 0")
         return self

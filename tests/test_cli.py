@@ -119,3 +119,24 @@ def test_cli_multistream_mode(tmp_path, testdata_dir, capsys):
     )
     with open(out, "rb") as f:
         assert f.read() == gold * 4
+
+
+def test_cli_frames_limit(tmp_path, testdata_dir, capsys):
+    inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
+    with open(inp, "rb") as f:
+        raw = f.read()
+    stream = tmp_path / "s.yuv"
+    stream.write_bytes(raw * 3)
+    out = str(tmp_path / "o.yuv")
+    rc = main(["--input", str(stream), "-W", "352", "-H", "288", "--qp", "35",
+               "--frames", "2", "--output", out, "--backend", "jnp"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["frames"] == 2
+    assert os.path.getsize(out) == 2 * len(raw)
+
+
+def test_cli_invalid_option_values(tmp_path, capsys):
+    f = tmp_path / "x.yuv"
+    f.write_bytes(b"\0" * (3 * 64 * 48 // 2))
+    assert main(["-i", str(f), "-W", "64", "-H", "48", "--frames", "0"]) == 1
+    assert main(["-i", str(f), "-W", "64", "-H", "48", "--depth", "-1"]) == 1
