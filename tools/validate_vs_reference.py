@@ -27,14 +27,36 @@ DEFAULT_REF = "/root/reference/hevc_deblocking_filter"
 
 DRIVER = r"""
 // Validation driver: runs the REFERENCE CPU implementation (included from
-// the read-only reference checkout) on one YV12 frame.
+// the read-only reference checkout) on one YV12 frame.  Optional 6th arg
+// `seed` injects pseudo-random luma BS via SetBoundaryStrenght using an
+// LCG the python side replicates (exercises the injection path too).
 #include "hevc_deblocking_filter_cpu.h"
 #include <cstdlib>
 #include <cstdio>
+#include <vector>
 int main(int argc, char **argv) {
-    if (argc != 6) { fprintf(stderr, "usage: %s in w h qp out\n", argv[0]); return 2; }
+    if (argc != 6 && argc != 7) {
+        fprintf(stderr, "usage: %s in w h qp out [seed]\n", argv[0]);
+        return 2;
+    }
+    unsigned int w = atoi(argv[2]), h = atoi(argv[3]);
     try {
-        ReadYuvFrame frame(argv[1], atoi(argv[2]), atoi(argv[3]), atoi(argv[4]));
+        ReadYuvFrame frame(argv[1], w, h, atoi(argv[4]));
+        if (argc == 7) {
+            unsigned long long s = strtoull(argv[6], nullptr, 10);
+            unsigned int nv = (w / 8 + 1) * (h / 8);
+            unsigned int nh = (h / 8 + 1) * (w / 8);
+            std::vector<unsigned char> v(nv), hh(nh);
+            for (unsigned int i = 0; i < nv; i++) {
+                s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+                v[i] = (unsigned char)((s >> 33) % 3);
+            }
+            for (unsigned int i = 0; i < nh; i++) {
+                s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+                hh[i] = (unsigned char)((s >> 33) % 3);
+            }
+            frame.SetBoundaryStrenght(v.data(), nv, hh.data(), nh);
+        }
         frame.DeblockingFilter(1);
         frame.Save(argv[5]);
     } catch (const char *e) { fprintf(stderr, "error: %s\n", e); return 1; }
@@ -42,13 +64,32 @@ int main(int argc, char **argv) {
 }
 """
 
+
+def _lcg_bs(seed: int, nv: int, nh: int):
+    """Python twin of the driver's LCG BS generator."""
+    import numpy as np
+
+    s = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for n in (nv, nh):
+        a = np.empty(n, np.uint8)
+        for i in range(n):
+            s = (s * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            a[i] = (s >> 33) % 3
+        out.append(a)
+    return out
+
 CASES = [
-    ("mother-daughter_352x288_yv12.yuv", 352, 288, 35),  # the committed workload
-    ("image1_352x288_yv12.yuv", 352, 288, 35),
-    ("image2_768x576.yuv", 768, 576, 35),
-    ("mother-daughter_352x288_yv12.yuv", 352, 288, 20),
-    ("mother-daughter_352x288_yv12.yuv", 352, 288, 51),
-    ("image2_768x576.yuv", 768, 576, 27),
+    # (file, w, h, qp, bs_seed or None for the default all-Intra BS)
+    ("mother-daughter_352x288_yv12.yuv", 352, 288, 35, None),  # committed workload
+    ("image1_352x288_yv12.yuv", 352, 288, 35, None),
+    ("image2_768x576.yuv", 768, 576, 35, None),
+    ("mother-daughter_352x288_yv12.yuv", 352, 288, 20, None),
+    ("mother-daughter_352x288_yv12.yuv", 352, 288, 51, None),
+    ("image2_768x576.yuv", 768, 576, 27, None),
+    # injected-BS cases: exercise SetBoundaryStrenght vs our bs.set_luma
+    ("mother-daughter_352x288_yv12.yuv", 352, 288, 35, 12345),
+    ("image2_768x576.yuv", 768, 576, 43, 999),
 ]
 
 
@@ -81,18 +122,24 @@ def main() -> int:
     failures = 0
     with tempfile.TemporaryDirectory() as td:
         exe = build_reference(ref_dir, td)
-        for name, w, h, qp in CASES:
+        for name, w, h, qp, seed in CASES:
             inp = os.path.join(REPO, "testdata", name)
             out = os.path.join(td, "ref_out.yuv")
-            subprocess.run([exe, inp, str(w), str(h), str(qp), out], check=True)
+            cmd = [exe, inp, str(w), str(h), str(qp), out]
+            bs = BoundaryStrength.intra_default(w, h)
+            label = f"{name} {w}x{h} qp={qp}"
+            if seed is not None:
+                cmd.append(str(seed))
+                v, hbs = _lcg_bs(seed, bs.vert.size, bs.hor.size)
+                bs.set_luma(v, hbs)
+                label += f" bs_seed={seed}"
+            subprocess.run(cmd, check=True)
             ref = np.fromfile(out, np.uint8)
-            gold = deblock_frame_golden(
-                read_yv12(inp, w, h), BoundaryStrength.intra_default(w, h), qp
-            )
+            gold = deblock_frame_golden(read_yv12(inp, w, h), bs, qp)
             ours = np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
             diffs = int(np.sum(ours != ref))
             status = "IDENTICAL" if diffs == 0 else f"{diffs} byte diffs"
-            print(f"{name} {w}x{h} qp={qp}: {status}")
+            print(f"{label}: {status}")
             failures += diffs != 0
     return 1 if failures else 0
 
