@@ -244,7 +244,9 @@ def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
     }
 
 
-def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
+def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
+                    shapes=((8, 128), (8, 256), (16, 128), (8, 512), (16, 256), (32, 128)),
+                    iters: int = 50) -> dict:
     """Sweep Pallas grid block shapes for the fused kernel (the TPU analogue
     of the reference's hand-picked CUDA block dims, main.cu:138) and report
     the fastest.  Run on real TPU hardware."""
@@ -262,17 +264,17 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
     tiles = jnp.asarray(np.asarray(plane_to_tiles(frame.y)))
     beta, tc = jnp.int32(get_beta(qp)), jnp.int32(get_tc(qp))
     results = {}
-    for bby, bbx in ((8, 128), (8, 256), (16, 128), (8, 512), (16, 256), (32, 128)):
+    for bby, bbx in shapes:
         try:
             out = deblock_tiles_pallas(tiles, *maps, beta, tc,
                                        block_by=bby, block_bx=bbx)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
-            for _ in range(50):
+            for _ in range(iters):
                 out = deblock_tiles_pallas(tiles, *maps, beta, tc,
                                            block_by=bby, block_bx=bbx)
             jax.block_until_ready(out)
-            results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / 50
+            results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / iters
         except Exception as e:  # noqa: BLE001 -- report compile failures per shape
             results[f"{bby}x{bbx}"] = f"failed: {type(e).__name__}"
     timed = {k: v for k, v in results.items() if isinstance(v, float)}

@@ -52,5 +52,5 @@ def test_autotune_smoke(monkeypatch):
     """autotune runs (interpret mode) on a couple of block shapes."""
     import bench.bench_lib as bl
 
-    r = bl.autotune_blocks(w=64, h=48)
+    r = bl.autotune_blocks(w=64, h=48, shapes=((8, 16), (4, 32)), iters=3)
     assert r["results_us"]
