@@ -195,17 +195,20 @@ class StreamingDeblocker:
         out = self._step(dev)
         jax.block_until_ready(out)
 
-        t0 = time.perf_counter()
-        for _ in range(n):
-            d = self._put(arr)
-        jax.block_until_ready(d)
-        h2d = (time.perf_counter() - t0) / n
+        def best_of(fn, reps=3):
+            # best-of: rides out shared-device/tunnel load spikes (CLAUDE.md)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(n):
+                    last = fn()
+                jax.block_until_ready(last)
+                best = min(best, (time.perf_counter() - t0) / n)
+            return best
 
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = self._step(dev)
-        jax.block_until_ready(out)
-        kernel = (time.perf_counter() - t0) / n
+        h2d = best_of(lambda: self._put(arr))
+        kernel = best_of(lambda: self._step(dev))
 
         res = {"h2d_s": h2d, "kernel_s": kernel}
         if measure_d2h:
