@@ -103,6 +103,12 @@ def deblock_tiles_pallas(
     if interpret is None:
         interpret = not _on_tpu()
     by, bx = tiles.shape[-2], tiles.shape[-1]
+    # adaptive tail blocks: a grid narrower than the default block would be
+    # zero-padded all the way up (e.g. CIF: Bx=45 -> 128, 2.8x HBM traffic);
+    # shrink the block to the 8-aligned grid size instead.  VMEM lane tiles
+    # are 128 wide regardless, so this only reduces memory traffic.
+    block_by = min(block_by, -(-by // 8) * 8)
+    block_bx = min(block_bx, -(-bx // 8) * 8)
     t = _pad_to(tiles, block_by, block_bx)
     maps = [_pad_to(m, block_by, block_bx) for m in (bs_ver1, bs_ver2, bs_hor1, bs_hor2)]
     pby, pbx = t.shape[-2], t.shape[-1]
