@@ -263,8 +263,22 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
     maps = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
     tiles = jnp.asarray(np.asarray(plane_to_tiles(frame.y)))
     beta, tc = jnp.int32(get_beta(qp)), jnp.int32(get_tc(qp))
+    # dedupe by the *effective* shape: deblock_tiles_pallas clamps blocks to
+    # the 8-aligned tile-grid size, so larger requested shapes can collapse
+    # to the same compiled kernel
+    def ceil8(x):
+        return -(-x // 8) * 8
+
+    gy, gx = ceil8((h + 8) // 8), ceil8((w + 8) // 8)
     results = {}
+    seen = set()
     for bby, bbx in shapes:
+        eff = (min(bby, gy), min(bbx, gx))
+        key = f"{eff[0]}x{eff[1]}"
+        if key in seen:
+            continue
+        seen.add(key)
+        bby, bbx = eff
         try:
             out = deblock_tiles_pallas(tiles, *maps, beta, tc,
                                        block_by=bby, block_bx=bbx)

@@ -48,8 +48,8 @@ def test_soak_smoke():
     assert len(r["segment_s"]) == 4
 
 
-def test_autotune_smoke(monkeypatch):
-    """autotune runs (interpret mode) on a couple of block shapes."""
+def test_autotune_smoke():
+    """autotune runs (interpret mode on CPU) on a couple of block shapes."""
     import bench.bench_lib as bl
 
     r = bl.autotune_blocks(w=64, h=48, shapes=((8, 16), (4, 32)), iters=3)

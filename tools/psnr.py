@@ -29,6 +29,10 @@ def main() -> int:
     if n == 0:
         print("error: no complete frames", file=sys.stderr)
         return 1
+    if a.size != b.size:
+        print(f"error: size mismatch: {pa} has {a.size // fb} complete frames "
+              f"({a.size} B), {pb} has {b.size // fb} ({b.size} B); comparing "
+              f"the first {n}", file=sys.stderr)
     out = []
     for i in range(n):
         fa, fbuf = a[i * fb : (i + 1) * fb], b[i * fb : (i + 1) * fb]
@@ -42,7 +46,7 @@ def main() -> int:
             "identical": bool(np.array_equal(fa, fbuf)),
         })
     print(json.dumps(out))
-    return 0
+    return 0 if a.size == b.size else 1
 
 
 if __name__ == "__main__":
