@@ -202,14 +202,22 @@ def deblock_frame_golden(frame: FramePlanes, bs: BoundaryStrength, qp: int,
     beta, tc = get_beta(qp), get_tc(qp)
     b = SAMPLE_BLOCK_SIZE
     y = frame.y.copy()
-    u = frame.u.copy()
-    v = frame.v.copy()
+    u = np.ascontiguousarray(frame.u.copy())
+    v = np.ascontiguousarray(frame.v.copy())
     luma_n = (frame.height // b + 1, frame.width // b + 1)
     _deblock_plane_golden(y, bs.vert, bs.hor, frame.width, luma_n[0], luma_n[1], beta, tc, chroma=False)
     if not luma_only:
         cw = frame.chroma_width
-        # Q2: chroma segment-existence gates use the *luma* tile counts
+        # Q2: chroma segment-existence gates use the *luma* tile counts.
+        # Q9: the reference's chroma pointer arithmetic uses row stride
+        # num_chroma_blocks_x*8 (cpu.h:469-471 et al.), not _new_chroma_width;
+        # the sweep therefore acts on the flat buffer reinterpreted as an
+        # (8*ncby, 8*ncbx) image -- a sheared view whenever the extended
+        # chroma width is not a multiple of 8 (see utils/tiles.split_covered).
         for plane in (u, v):
-            _deblock_plane_golden(plane, bs.chroma_vert, bs.chroma_hor, cw,
+            hext, wext = plane.shape
+            ncby, ncbx = hext // b, wext // b
+            view = plane.reshape(-1)[: ncby * b * ncbx * b].reshape(ncby * b, ncbx * b)
+            _deblock_plane_golden(view, bs.chroma_vert, bs.chroma_hor, cw,
                                   luma_n[0], luma_n[1], beta, tc, chroma=True)
     return FramePlanes(y=y, u=u, v=v, width=frame.width, height=frame.height)

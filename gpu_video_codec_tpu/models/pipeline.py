@@ -26,7 +26,7 @@ import numpy as np
 from ..ops.deblock import deblock_frame
 from ..ops.tables import get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
-from ..utils.tiles import covered_extent
+from ..utils.tiles import split_covered
 from ..utils.yuv import FramePlanes
 
 
@@ -121,10 +121,13 @@ class DeblockPipeline:
         if not frames:
             return []
         n = len(frames)
-        ch, cw = covered_extent(*frames[0].u.shape)
+        # chroma goes through the reference's tile-swept flat view (quirk Q9)
+        u_views = [split_covered(np.ascontiguousarray(f.u)) for f in frames]
+        v_views = [split_covered(np.ascontiguousarray(f.v)) for f in frames]
+        ch, cw = u_views[0][0].shape
         y = np.concatenate([f.y for f in frames], axis=0)
-        u = np.concatenate([f.u[:ch, :cw] for f in frames], axis=0)
-        v = np.concatenate([f.v[:ch, :cw] for f in frames], axis=0)
+        u = np.concatenate([core for core, _ in u_views], axis=0)
+        v = np.concatenate([core for core, _ in v_views], axis=0)
         lmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.luma_maps)
         cmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.chroma_maps)
 
@@ -140,11 +143,12 @@ class DeblockPipeline:
         vo = np.asarray(jax.device_get(vo))
         hy = frames[0].y.shape[0]
         out = []
-        for i, f in enumerate(frames):
-            uf, vf = f.u.copy(), f.v.copy()
-            if not self.luma_only:
-                uf[:ch, :cw] = uo[i * ch : (i + 1) * ch]
-                vf[:ch, :cw] = vo[i * ch : (i + 1) * ch]
+        for i, (f, (_, upaste), (_, vpaste)) in enumerate(zip(frames, u_views, v_views)):
+            if self.luma_only:
+                uf, vf = f.u.copy(), f.v.copy()
+            else:
+                uf = upaste(uo[i * ch : (i + 1) * ch], np)
+                vf = vpaste(vo[i * ch : (i + 1) * ch], np)
             out.append(FramePlanes(
                 y=yo[i * hy : (i + 1) * hy], u=uf, v=vf,
                 width=self.width, height=self.height,

@@ -13,8 +13,8 @@ parallelism with ZERO collectives:
 
 Geometry never has to divide the mesh: the tile grid is padded with no-op
 tiles (zero pixels, BS = 0 -- exact identities) up to the spatial axis size,
-then unpadded.  Chroma planes additionally carry their truncated-remainder
-padding (utils/tiles.covered_extent).
+then unpadded.  Chroma planes go through the reference's tile-swept flat
+view (quirk Q9; utils/tiles.split_covered).
 
 Communication cost: the only inter-chip traffic is the initial shard scatter
 and final gather done by jit's sharding machinery over ICI; steady-state
@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.deblock import deblock_frame
-from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B, covered_extent
+from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B, split_covered
 
 
 def make_mesh(n_data: int, n_spatial: int, devices=None) -> Mesh:
@@ -95,10 +95,11 @@ def deblock_batch_sharded(
             f"batch {y_batch.shape[0]} not divisible by data axis {n_data}"
         )
 
-    # chroma planes may have a truncated remainder (not 8-multiple); keep the
-    # core only for sharding and paste the zero remainder back at the end.
-    ch, cw = covered_extent(u_batch.shape[-2], u_batch.shape[-1])
-    u_core, v_core = u_batch[..., :ch, :cw], v_batch[..., :ch, :cw]
+    # chroma planes go through the reference's tile-swept view (quirk Q9 --
+    # flat buffer as an (8*ncby, 8*ncbx) image; see utils/tiles.split_covered),
+    # sharded like any tile grid; the flat remainder is reattached afterwards.
+    u_core, u_paste = split_covered(u_batch)
+    v_core, v_paste = split_covered(v_batch)
 
     y_p, lmaps, by = _pad_rows_to(y_batch, luma_maps, n_sp)
     u_p, cmaps, cby = _pad_rows_to(u_core, chroma_maps, n_sp)
@@ -143,15 +144,7 @@ def deblock_batch_sharded(
     )
     yo = yo[:, : by * _B]
     uo, vo = uo[:, : cby * _B], vo[:, : cby * _B]
-    if ch != u_batch.shape[-2] or cw != u_batch.shape[-1]:
-        uo = _paste_remainder(uo, u_batch, ch, cw)
-        vo = _paste_remainder(vo, v_batch, ch, cw)
-    return yo, uo, vo
-
-
-def _paste_remainder(core, full, ch, cw):
-    rows = jnp.concatenate([core, full[..., ch:, :cw]], axis=-2)
-    return jnp.concatenate([rows, full[..., :, cw:]], axis=-1)
+    return yo, u_paste(uo, jnp), v_paste(vo, jnp)
 
 
 @functools.lru_cache(maxsize=32)

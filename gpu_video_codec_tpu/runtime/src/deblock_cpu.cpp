@@ -258,9 +258,16 @@ int gvct_deblock_frame(uint8_t *y, uint8_t *u, uint8_t *v,
   if (!luma_only) {
     const int cw = width / 2, ch = height / 2;
     const int chext = ch + kBlock, cwext = cw + kBlock;
-    deblock_plane(u, chext, cwext, cw, cvert_bs, n_cvert, chor_bs, n_chor,
+    // Quirk Q9: the reference's chroma sweep uses row stride
+    // num_chroma_blocks_x*8 (cpu.h:469-471), not the plane's _new_chroma_width,
+    // i.e. it filters the flat buffer reinterpreted as an
+    // (8*ncby, 8*ncbx) image.  Passing the effective dims reproduces that
+    // exactly (identical when cwext is already a multiple of 8).
+    const int eff_h = (chext / kBlock) * kBlock;
+    const int eff_w = (cwext / kBlock) * kBlock;
+    deblock_plane(u, eff_h, eff_w, cw, cvert_bs, n_cvert, chor_bs, n_chor,
                   luma_ny, luma_nx, beta, tc, /*chroma=*/true);
-    deblock_plane(v, chext, cwext, cw, cvert_bs, n_cvert, chor_bs, n_chor,
+    deblock_plane(v, eff_h, eff_w, cw, cvert_bs, n_cvert, chor_bs, n_chor,
                   luma_ny, luma_nx, beta, tc, /*chroma=*/true);
   }
   return 0;

@@ -19,30 +19,44 @@ from ..ops.tables import SAMPLE_BLOCK_SIZE
 
 
 def covered_extent(h: int, w: int) -> tuple[int, int]:
-    """Rows/cols of an extended plane covered by the 8x8 tile grid.
-
-    The reference computes tile counts with truncating integer division
-    (num_blocks = new_dim / 8, cpu.h:141-142, 450-451), so when a chroma
-    extended dim is not a multiple of 8 (e.g. 1080p: 540+8 = 548) the last
-    (dim % 8) rows/cols -- always pure padding, never real pixels -- are
-    simply outside the sweep.  Callers process the covered core and pass the
-    remainder through untouched.
-    """
+    """Rows/cols of an extended plane covered by the 8x8 tile grid
+    (num_blocks = dim / 8 with truncating division, cpu.h:141-142, 450-451)."""
     b = SAMPLE_BLOCK_SIZE
     return h - h % b, w - w % b
 
 
 def split_covered(plane):
-    """Split (.., H, W) into the tile-covered core and a paste-back closure."""
+    """Split (.., H, W) into the tile-swept region and a paste-back closure.
+
+    Quirk Q9 (discovered by fuzzing the compiled reference, see
+    tools/validate_vs_reference.py --fuzz): the reference's chroma pointer
+    arithmetic uses `num_chroma_blocks_x * 8` as the row stride
+    (cpu.h:469-471 et al.) instead of the plane's actual `_new_chroma_width`.
+    When the extended chroma width is not a multiple of 8 (w % 16 == 8,
+    e.g. 56x72 frames), the filter therefore operates on a *sheared*
+    reinterpretation of the buffer: the first (8*ncby)*(8*ncbx) bytes of the
+    flat plane viewed as an (8*ncby, 8*ncbx) row-major image.  That view is
+    deterministic and in-bounds, so bit-exactness requires reproducing it.
+    When the extended width IS a multiple of 8 the view degenerates to the
+    first 8*ncby true rows (possibly truncating bottom padding rows).
+
+    Returns (core, paste): `core` is the (.., 8*ncby, 8*ncbx) tile-swept
+    view; `paste(filtered_core, xp)` rebuilds the full (.., H, W) plane with
+    the untouched flat remainder reattached.
+    """
+    b = SAMPLE_BLOCK_SIZE
     h, w = plane.shape[-2], plane.shape[-1]
-    ch, cw = covered_extent(h, w)
-    core = plane[..., :ch, :cw]
+    ncby, ncbx = h // b, w // b
+    vh, vw = ncby * b, ncbx * b
+    lead = plane.shape[:-2]
+    flat = plane.reshape(*lead, h * w)
+    core = flat[..., : vh * vw].reshape(*lead, vh, vw)
 
     def paste(out_core, xp):
-        if ch == h and cw == w:
-            return out_core
-        rows = xp.concatenate([out_core, plane[..., ch:, :cw]], axis=-2)
-        return xp.concatenate([rows, plane[..., :, cw:]], axis=-1)
+        out_flat = out_core.reshape(*lead, vh * vw)
+        if vh * vw != h * w:
+            out_flat = xp.concatenate([out_flat, flat[..., vh * vw :]], axis=-1)
+        return out_flat.reshape(*lead, h, w)
 
     return core, paste
 

@@ -26,12 +26,19 @@ def _frame(rng, w, h):
 def test_odd_chroma_extent_bitexact(rng):
     w, h = 88, 72
     frame = _frame(rng, w, h)
-    assert frame.u.shape == (44, 52)  # 44 % 8 == 4: truncated tile grid
+    assert frame.u.shape == (44, 52)  # neither ext dim a multiple of 8
     bs = BoundaryStrength.intra_default(w, h)
     gold = deblock_frame_golden(frame, bs, 35)
     for backend in ("jnp", "pallas"):
         out = DeblockPipeline(w, h, 35, backend=backend)(frame)
         for name in ("y", "u", "v"):
             assert np.array_equal(getattr(gold, name), getattr(out, name)), (backend, name)
-    # the uncovered remainder is pure padding and must remain zero
-    assert np.all(gold.u[-4:, :] == 0) and np.all(gold.u[:, -4:] == 0)
+    # quirk Q9: the reference sweeps the flat chroma buffer as an
+    # (8*ncby, 8*ncbx) = (40, 48) image; the flat remainder -- which here
+    # includes some real bottom chroma rows -- is untouched, exactly as the
+    # reference leaves it (verified against the compiled reference binary by
+    # tools/validate_vs_reference.py --fuzz)
+    vh, vw = 40, 48
+    assert np.array_equal(gold.u.ravel()[vh * vw :], frame.u.ravel()[vh * vw :])
+    # and the sweep did change pixels inside the view
+    assert not np.array_equal(gold.u.ravel()[: vh * vw], frame.u.ravel()[: vh * vw])

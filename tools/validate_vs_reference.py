@@ -105,7 +105,102 @@ def build_reference(ref_dir: str, workdir: str) -> str:
     return exe
 
 
+def fuzz(ref_dir: str, n_cases: int, seed: int = 0) -> int:
+    """Adversarial campaign: random frames x dims x QPs x injected BS vs the
+    compiled reference binary.
+
+    Comparison masks the reference's *undefined-behavior* regions (our build
+    pins them -- SURVEY.md quirks Q2/Q6 -- so byte equality there is luck of
+    the reference process's heap):
+      * a 4-px border band of every plane (the reference filters border
+        tiles against UNINITIALIZED padding, Q6);
+      * the last chroma tile row (chroma ver2/hor2 BS lookups go out of
+        bounds under the luma-count gates, Q2).
+    Any mismatch OUTSIDE those regions is a real divergence and fails.
+    """
+    import numpy as np
+
+    from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+    from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
+    rng = np.random.default_rng(seed)
+    failures = 0
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_reference(ref_dir, td)
+        for case in range(n_cases):
+            w = 8 * int(rng.integers(1, 17))
+            h = 8 * int(rng.integers(1, 13))
+            qp = int(rng.integers(0, 61))
+            bs_seed = int(rng.integers(1, 1 << 31)) if rng.integers(0, 2) else None
+            raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+            inp = os.path.join(td, "in.yuv")
+            out = os.path.join(td, "out.yuv")
+            raw.tofile(inp)
+
+            cmd = [exe, inp, str(w), str(h), str(qp), out]
+            bs = BoundaryStrength.intra_default(w, h)
+            if bs_seed is not None:
+                cmd.append(str(bs_seed))
+                v, hbs = _lcg_bs(bs_seed, bs.vert.size, bs.hor.size)
+                bs.set_luma(v, hbs)
+            subprocess.run(cmd, check=True)
+
+            frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+            gold = deblock_frame_golden(frame, bs, qp)
+            ours = np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
+            ref = np.fromfile(out, np.uint8)
+
+            label = f"fuzz[{case}] {w}x{h} qp={qp} bs={'rand' if bs_seed else 'intra'}"
+            total = int(np.sum(ours != ref))
+            if total == 0:
+                print(f"{label}: IDENTICAL")
+                continue
+            # mask UB regions and re-compare
+            cw, ch = w // 2, h // 2
+            band = 4
+
+            def interior_diffs(o, r, ww, hh, last_tile_row_ub=False):
+                o2 = o.reshape(hh, ww).astype(int)
+                r2 = r.reshape(hh, ww).astype(int)
+                m = np.ones((hh, ww), bool)
+                m[:band] = m[-band:] = False
+                m[:, :band] = m[:, -band:] = False
+                if last_tile_row_ub:
+                    # chroma ver2/hor2 BS lookups go OOB only for tiles in the
+                    # last row of the SHEARED sweep grid (quirk Q2 x Q9); mask
+                    # real pixels whose flat extended position falls in that
+                    # sheared tile row
+                    wext, hext = ww + 8, hh + 8
+                    ncby, ncbx = hext // 8, wext // 8
+                    rows = np.arange(hh)[:, None] + band
+                    cols = np.arange(ww)[None, :] + band
+                    flat = rows * wext + cols
+                    sheared_row = flat // (8 * ncbx)
+                    m &= sheared_row < 8 * (ncby - 1)
+                return int(np.sum((o2 != r2) & m))
+
+            fb_y = w * h
+            fb_c = cw * ch
+            dy = interior_diffs(ours[:fb_y], ref[:fb_y], w, h)
+            du = interior_diffs(ours[fb_y:fb_y + fb_c], ref[fb_y:fb_y + fb_c], cw, ch, True)
+            dv = interior_diffs(ours[fb_y + fb_c:], ref[fb_y + fb_c:], cw, ch, True)
+            if dy + du + dv == 0:
+                print(f"{label}: {total} byte diffs, ALL inside reference-UB regions (OK)")
+            else:
+                print(f"{label}: REAL DIVERGENCE outside UB regions "
+                      f"(Y {dy}, U {du}, V {dv} of {total} total)")
+                failures += 1
+    print(f"fuzz: {n_cases} cases, {failures} real divergences")
+    return 1 if failures else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+        ref_dir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_REF
+        sys.path.insert(0, REPO)
+        return fuzz(ref_dir, n)
     ref_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_REF
     header = os.path.join(ref_dir, "hevc_deblocking_filter_cpu.h")
     if not os.path.exists(header):
