@@ -103,3 +103,22 @@ def test_sharded_pallas_backend(rng):
         gold = deblock_frame_golden(FramePlanes(ys[i], us[i], vs[i], w, h), bs, 35)
         assert np.array_equal(np.asarray(yo[i]), gold.y), i
         assert np.array_equal(np.asarray(uo[i]), gold.u), i
+
+
+def test_sharded_q9_geometry(rng):
+    """Sheared chroma sweep (quirk Q9: ext chroma width % 8 != 0) must
+    survive mesh sharding bit-exactly."""
+    w, h, n = 56, 72, 4
+    ys, us, vs = _batch(rng, n, w, h)
+    assert us.shape[-1] % 8 != 0  # Q9-triggering geometry
+    bs = BoundaryStrength.intra_default(w, h)
+    mesh = make_mesh(2, 4)
+    yo, uo, vo = deblock_batch_sharded_jit(
+        mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+        luma_segment_maps(bs), chroma_segment_maps(bs), get_beta(35), get_tc(35),
+    )
+    for i in range(n):
+        gold = deblock_frame_golden(FramePlanes(ys[i], us[i], vs[i], w, h), bs, 35)
+        assert np.array_equal(np.asarray(yo[i]), gold.y), i
+        assert np.array_equal(np.asarray(uo[i]), gold.u), i
+        assert np.array_equal(np.asarray(vo[i]), gold.v), i

@@ -39,3 +39,15 @@ def test_multistream_validation(rng):
         ms.step([_raw(rng, 64, 48)])  # wrong stream count
     with pytest.raises(ValueError):
         ms.step([np.zeros(5, np.uint8)] * 2)  # wrong frame size
+
+
+def test_multistream_q9_geometry(rng):
+    w, h, qp = 56, 72, 35
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 2, w, h, qp)
+    raws = [_raw(rng, w, h) for _ in range(2)]
+    outs = ms.step(raws)
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, outs):
+        gold = deblock_frame_golden(planes_from_yv12_bytes(raw.tobytes(), w, h), bs, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
