@@ -202,8 +202,8 @@ def deblock_frame_golden(frame: FramePlanes, bs: BoundaryStrength, qp: int,
     beta, tc = get_beta(qp), get_tc(qp)
     b = SAMPLE_BLOCK_SIZE
     y = frame.y.copy()
-    u = np.ascontiguousarray(frame.u.copy())
-    v = np.ascontiguousarray(frame.v.copy())
+    u = frame.u.copy()  # ndarray.copy() is C-contiguous; the flat views below are writable
+    v = frame.v.copy()
     luma_n = (frame.height // b + 1, frame.width // b + 1)
     _deblock_plane_golden(y, bs.vert, bs.hor, frame.width, luma_n[0], luma_n[1], beta, tc, chroma=False)
     if not luma_only:
@@ -213,7 +213,9 @@ def deblock_frame_golden(frame: FramePlanes, bs: BoundaryStrength, qp: int,
         # num_chroma_blocks_x*8 (cpu.h:469-471 et al.), not _new_chroma_width;
         # the sweep therefore acts on the flat buffer reinterpreted as an
         # (8*ncby, 8*ncbx) image -- a sheared view whenever the extended
-        # chroma width is not a multiple of 8 (see utils/tiles.split_covered).
+        # chroma width is not a multiple of 8.  Deliberately re-derived here
+        # rather than reusing utils/tiles.split_covered: the golden model is
+        # the independent oracle the vectorized paths are tested against.
         for plane in (u, v):
             hext, wext = plane.shape
             ncby, ncbx = hext // b, wext // b

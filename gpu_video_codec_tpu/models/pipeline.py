@@ -109,9 +109,10 @@ class DeblockPipeline:
 
         Frames fold into a single taller tile grid by row-concatenation --
         exact because tiles are independent and extended luma heights are
-        always 8-aligned; chroma planes are concatenated by their tile-covered
-        cores with the (pure padding) remainders re-attached per frame.
-        Supported on the device backends ("jnp", "pallas").
+        always 8-aligned; chroma planes are concatenated by their tile-swept
+        flat views (quirk Q9) with each frame's untouched flat remainder
+        re-attached afterwards.  Supported on the device backends
+        ("jnp", "pallas").
         """
         if self.backend not in ("jnp", "pallas"):
             raise ValueError("batch() requires a device backend ('jnp' or 'pallas')")

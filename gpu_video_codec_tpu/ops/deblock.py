@@ -109,9 +109,10 @@ def deblock_plane(ext_plane, bs_maps, beta, tc, chroma=False, dtype=jnp.int32):
 
     Leading batch axes (e.g. the stacked {U, V} pair, or a frame batch) are
     folded into the tile-grid batch; BS maps broadcast across them.
-    Extended dims that are not multiples of 8 (possible for chroma, e.g.
-    1080p) are handled per the reference's truncating tile counts: the
-    uncovered padding remainder passes through untouched.
+    The plane is swept through the reference's flat (8*ncby, 8*ncbx) view
+    (quirk Q9, utils/tiles.split_covered): sheared when the extended width
+    is not a multiple of 8, with the flat remainder -- which can include
+    real bottom chroma rows -- passing through untouched.
     """
     ext_plane, paste = split_covered(ext_plane)
     tiles = plane_to_tiles(ext_plane)  # (*lead, 8, 8, By, Bx)

@@ -162,8 +162,9 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     if luma_only:
         return y_plane, u_ext, v_ext
 
-    # chroma extended dims may not be 8-multiples (e.g. 1080p): the reference's
-    # truncating tile counts leave a pure-padding remainder outside the sweep
+    # chroma sweeps the reference's flat (8*ncby, 8*ncbx) view (quirk Q9:
+    # sheared when the extended width isn't 8-aligned; the flat remainder,
+    # possibly containing real bottom rows, is untouched)
     u_core, u_paste = split_covered(u_ext)
     v_core, v_paste = split_covered(v_ext)
     ut = plane_to_tiles(u_core)

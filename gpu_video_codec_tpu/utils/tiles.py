@@ -18,13 +18,6 @@ from __future__ import annotations
 from ..ops.tables import SAMPLE_BLOCK_SIZE
 
 
-def covered_extent(h: int, w: int) -> tuple[int, int]:
-    """Rows/cols of an extended plane covered by the 8x8 tile grid
-    (num_blocks = dim / 8 with truncating division, cpu.h:141-142, 450-451)."""
-    b = SAMPLE_BLOCK_SIZE
-    return h - h % b, w - w % b
-
-
 def split_covered(plane):
     """Split (.., H, W) into the tile-swept region and a paste-back closure.
 
@@ -40,9 +33,10 @@ def split_covered(plane):
     When the extended width IS a multiple of 8 the view degenerates to the
     first 8*ncby true rows (possibly truncating bottom padding rows).
 
-    Returns (core, paste): `core` is the (.., 8*ncby, 8*ncbx) tile-swept
-    view; `paste(filtered_core, xp)` rebuilds the full (.., H, W) plane with
-    the untouched flat remainder reattached.
+    Tile counts come from truncating division (num_blocks = new_dim / 8,
+    cpu.h:141-142, 450-451).  Returns (core, paste): `core` is the
+    (.., 8*ncby, 8*ncbx) tile-swept view; `paste(filtered_core, xp)` rebuilds
+    the full (.., H, W) plane with the untouched flat remainder reattached.
     """
     b = SAMPLE_BLOCK_SIZE
     h, w = plane.shape[-2], plane.shape[-1]

@@ -13,6 +13,7 @@ padding reads zeros under glibc fresh allocations, matching our defined
 padding == 0 (quirk Q6).
 
 Usage: python tools/validate_vs_reference.py [REF_DIR]
+       python tools/validate_vs_reference.py --fuzz [N] [SEED] [MAX_W] [MAX_H] [REF_DIR]
 """
 
 from __future__ import annotations
@@ -105,18 +106,19 @@ def build_reference(ref_dir: str, workdir: str) -> str:
     return exe
 
 
-def fuzz(ref_dir: str, n_cases: int, seed: int = 0) -> int:
+def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
+         max_w: int = 128, max_h: int = 96) -> int:
     """Adversarial campaign: random frames x dims x QPs x injected BS vs the
     compiled reference binary.
 
     Comparison masks the reference's *undefined-behavior* regions (our build
-    pins them -- SURVEY.md quirks Q2/Q6 -- so byte equality there is luck of
-    the reference process's heap):
-      * a 4-px border band of every plane (the reference filters border
-        tiles against UNINITIALIZED padding, Q6);
-      * the last chroma tile row (chroma ver2/hor2 BS lookups go out of
-        bounds under the luma-count gates, Q2).
-    Any mismatch OUTSIDE those regions is a real divergence and fails.
+    pins them -- SURVEY.md quirks Q2/Q6/Q9 -- so byte equality there is luck
+    of the reference process's heap): any sweep tile whose 8x8 extent
+    contains an uninitialized padding byte (under the Q9 shear those tiles
+    form diagonal stripes through the interior), and the last sheared chroma
+    tile row (OOB BS reads).  Any mismatch OUTSIDE those regions is a real
+    divergence and fails.  Robust to dirty heaps (MALLOC_PERTURB_), not just
+    fresh zero pages.
     """
     import numpy as np
 
@@ -129,8 +131,8 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0) -> int:
     with tempfile.TemporaryDirectory() as td:
         exe = build_reference(ref_dir, td)
         for case in range(n_cases):
-            w = 8 * int(rng.integers(1, 17))
-            h = 8 * int(rng.integers(1, 13))
+            w = 8 * int(rng.integers(1, max_w // 8 + 1))
+            h = 8 * int(rng.integers(1, max_h // 8 + 1))
             qp = int(rng.integers(0, 61))
             bs_seed = int(rng.integers(1, 1 << 31)) if rng.integers(0, 2) else None
             raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
@@ -160,31 +162,46 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0) -> int:
             cw, ch = w // 2, h // 2
             band = 4
 
-            def interior_diffs(o, r, ww, hh, last_tile_row_ub=False):
+            def interior_diffs(o, r, ww, hh, chroma_ub=False):
+                """Diffs outside every region the reference's UB can reach.
+
+                UB sources: (a) uninitialized padding bytes feed any tile of
+                the sweep whose 8x8 extent contains one (Q6) -- under the Q9
+                shear those tiles form diagonal stripes through the interior,
+                not just a border band; (b) chroma ver2/hor2 BS reads go out
+                of bounds for the last sheared tile row (Q2 x Q9).  Mask is
+                tile-granular: any output pixel living in an affected sweep
+                tile is excluded.
+                """
                 o2 = o.reshape(hh, ww).astype(int)
                 r2 = r.reshape(hh, ww).astype(int)
-                m = np.ones((hh, ww), bool)
-                m[:band] = m[-band:] = False
-                m[:, :band] = m[:, -band:] = False
-                if last_tile_row_ub:
-                    # chroma ver2/hor2 BS lookups go OOB only for tiles in the
-                    # last row of the SHEARED sweep grid (quirk Q2 x Q9); mask
-                    # real pixels whose flat extended position falls in that
-                    # sheared tile row
-                    wext, hext = ww + 8, hh + 8
-                    ncby, ncbx = hext // 8, wext // 8
-                    rows = np.arange(hh)[:, None] + band
-                    cols = np.arange(ww)[None, :] + band
-                    flat = rows * wext + cols
-                    sheared_row = flat // (8 * ncbx)
-                    m &= sheared_row < 8 * (ncby - 1)
+                wext, hext = ww + 8, hh + 8
+                ncby, ncbx = hext // 8, wext // 8
+                vh, vw = ncby * 8, ncbx * 8
+                # true-layout padding map -> sheared view -> tainted tiles
+                pad = np.ones((hext, wext), bool)
+                pad[band : band + hh, band : band + ww] = False
+                pad_sheared = pad.ravel()[: vh * vw].reshape(vh, vw)
+                tainted = pad_sheared.reshape(ncby, 8, ncbx, 8).any(axis=(1, 3))
+                if chroma_ub:
+                    tainted[-1, :] = True  # OOB BS reads (Q2 x Q9)
+                # map output pixels -> sheared tile; mask tainted ones
+                rows = np.arange(hh)[:, None] + band
+                cols = np.arange(ww)[None, :] + band
+                flat = rows * wext + cols
+                in_sweep = flat < vh * vw
+                sr = np.minimum(flat, vh * vw - 1) // vw // 8
+                sc = (np.minimum(flat, vh * vw - 1) % vw) // 8
+                # out-of-sweep pixels are untouched by both sides: compare
+                # them strictly; in-sweep pixels compare unless tainted
+                m = ~in_sweep | ~tainted[sr, sc]
                 return int(np.sum((o2 != r2) & m))
 
             fb_y = w * h
             fb_c = cw * ch
             dy = interior_diffs(ours[:fb_y], ref[:fb_y], w, h)
-            du = interior_diffs(ours[fb_y:fb_y + fb_c], ref[fb_y:fb_y + fb_c], cw, ch, True)
-            dv = interior_diffs(ours[fb_y + fb_c:], ref[fb_y + fb_c:], cw, ch, True)
+            du = interior_diffs(ours[fb_y:fb_y + fb_c], ref[fb_y:fb_y + fb_c], cw, ch, chroma_ub=True)
+            dv = interior_diffs(ours[fb_y + fb_c:], ref[fb_y + fb_c:], cw, ch, chroma_ub=True)
             if dy + du + dv == 0:
                 print(f"{label}: {total} byte diffs, ALL inside reference-UB regions (OK)")
             else:
@@ -197,10 +214,15 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0) -> int:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-        ref_dir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_REF
+        # --fuzz [N] [SEED] [MAX_W] [MAX_H] [REF_DIR]
+        argv = sys.argv[2:]
+        n = int(argv[0]) if len(argv) > 0 else 30
+        seed = int(argv[1]) if len(argv) > 1 else 0
+        max_w = int(argv[2]) if len(argv) > 2 else 128
+        max_h = int(argv[3]) if len(argv) > 3 else 96
+        ref_dir = argv[4] if len(argv) > 4 else DEFAULT_REF
         sys.path.insert(0, REPO)
-        return fuzz(ref_dir, n)
+        return fuzz(ref_dir, n, seed=seed, max_w=max_w, max_h=max_h)
     ref_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_REF
     header = os.path.join(ref_dir, "hevc_deblocking_filter_cpu.h")
     if not os.path.exists(header):
