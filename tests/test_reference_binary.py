@@ -30,3 +30,14 @@ def test_golden_matches_compiled_reference(tmp_path):
     # every case must be identical
     for line in r.stdout.strip().splitlines():
         assert line.endswith("IDENTICAL"), line
+
+
+def test_fuzz_vs_compiled_reference():
+    """Seeded 6-case randomized campaign against the compiled reference
+    (dims incl. Q9-triggering widths, random QP/BS)."""
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "validate_vs_reference.py")
+    r = subprocess.run([sys.executable, tool, "--fuzz", "6", "3"],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "0 real divergences" in r.stdout
