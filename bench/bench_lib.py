@@ -116,11 +116,13 @@ def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 1
     fn = deblock_frame_pallas_jit if backend == "pallas" else _deblock_jit
     out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = float("inf")
+    for _ in range(3):  # best-of vs shared-device load spikes
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / n_iters)
     mpix = batch * w * h / dt / 1e6
     return {
         "config": f"batched {batch}x CIF, backend={backend}",
