@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Driver entry point: prints ONE JSON line with the headline benchmark.
 
-Metric: filtered Mpix/s/chip at 1080p YV12 (luma pixels, copy-overlap
-streaming pipeline, fused Pallas kernel).  vs_baseline is the ratio to the
+Metric: filtered Mpix/s/chip at 1080p YV12, KERNEL-ONLY (luma pixels, fused
+Pallas kernel, no host copy) -- the same "without copy" definition as the
 reference's best published number (GPU kernel-only with pinned memory,
-744 Mpix/s on a GTX 1060 Max-Q -- see BASELINE.md)."""
+744 Mpix/s on a GTX 1060 Max-Q, BASELINE.md), which vs_baseline divides by.
+The copy-overlap streaming pipeline rate is reported in details
+(pipelined_mpix_s); in this dev environment it is bound by the tunneled
+host->TPU link, not the framework."""
 
 import json
 import os

@@ -103,6 +103,7 @@ def ExecuteCpu(input_file: str, output_file: str, width: int, height: int,
 
     from .runtime import native
 
+    native.load()  # build/load the runtime OUTSIDE the timed region
     timings: dict[int, float] = {}
     for nt in thread_counts:
         frame = ReadYuvFrame(input_file, width, height, Qp, backend="native")

@@ -122,15 +122,22 @@ class DeblockPipeline:
         if not frames:
             return []
         n = len(frames)
-        # chroma goes through the reference's tile-swept flat view (quirk Q9)
-        u_views = [split_covered(np.ascontiguousarray(f.u)) for f in frames]
-        v_views = [split_covered(np.ascontiguousarray(f.v)) for f in frames]
-        ch, cw = u_views[0][0].shape
         y = np.concatenate([f.y for f in frames], axis=0)
-        u = np.concatenate([core for core, _ in u_views], axis=0)
-        v = np.concatenate([core for core, _ in v_views], axis=0)
         lmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.luma_maps)
-        cmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.chroma_maps)
+        if self.luma_only:
+            # don't build or upload chroma data that would be discarded
+            u = v = np.zeros((8, 8), np.uint8)
+            ch = cw = 8
+            u_views = v_views = [(None, None)] * n
+            cmaps = self.chroma_maps
+        else:
+            # chroma goes through the reference's tile-swept flat view (quirk Q9)
+            u_views = [split_covered(np.ascontiguousarray(f.u)) for f in frames]
+            v_views = [split_covered(np.ascontiguousarray(f.v)) for f in frames]
+            ch, cw = u_views[0][0].shape
+            u = np.concatenate([core for core, _ in u_views], axis=0)
+            v = np.concatenate([core for core, _ in v_views], axis=0)
+            cmaps = tuple(np.concatenate([m] * n, axis=0) for m in self.chroma_maps)
 
         if self.backend == "pallas":
             from ..ops.pallas_kernel import deblock_frame_pallas_jit as fn

@@ -129,7 +129,7 @@ class StreamingDeblocker:
         inflight: deque = deque()
         for frame in frames:
             inflight.append(self._step(self._put(frame)))
-            if len(inflight) > self.depth:
+            if len(inflight) >= self.depth:
                 yield jax.device_get(inflight.popleft())
         while inflight:
             yield jax.device_get(inflight.popleft())

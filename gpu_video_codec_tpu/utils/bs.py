@@ -57,15 +57,23 @@ class BoundaryStrength:
     def intra_default(cls, width: int, height: int) -> "BoundaryStrength":
         b = SAMPLE_BLOCK_SIZE
         cw, ch = width // 2, height // 2
+        # Array sizes follow the reference's exact expressions with C++
+        # left-to-right precedence: (dim/8 + 1) * other_dim / 8 means
+        # ((dim/8 + 1) * other_dim) / 8 (cpu.h:86-87, 104-105).  For luma the
+        # two readings coincide (height is a multiple of 8); for chroma they
+        # differ whenever the chroma dim is not 8-aligned (h % 16 == 8,
+        # incl. 1080p), where the reference allocates AND initializes more
+        # entries -- reads our earlier (a*b//8 vs a*(b//8)) sizing treated as
+        # out-of-bounds are in fact defined values there.
         return cls(
             width=width,
             height=height,
             # zero-stripe strides per cpu.h:94 (W/8+1), cpu.h:98 (H/8+1),
             # cpu.h:112 (cW/8+1), cpu.h:116 (cH/8+1)
-            vert=_init_flat_bs((width // b + 1) * (height // b), width // b + 1),
-            hor=_init_flat_bs((height // b + 1) * (width // b), height // b + 1),
-            chroma_vert=_init_flat_bs((cw // b + 1) * (ch // b), cw // b + 1),
-            chroma_hor=_init_flat_bs((ch // b + 1) * (cw // b), ch // b + 1),
+            vert=_init_flat_bs((width // b + 1) * height // b, width // b + 1),
+            hor=_init_flat_bs((height // b + 1) * width // b, height // b + 1),
+            chroma_vert=_init_flat_bs((cw // b + 1) * ch // b, cw // b + 1),
+            chroma_hor=_init_flat_bs((ch // b + 1) * cw // b, ch // b + 1),
         )
 
     def set_luma(self, vert: np.ndarray, hor: np.ndarray) -> None:

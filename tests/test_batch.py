@@ -52,3 +52,14 @@ def test_batch_rejects_host_backends(rng):
 
 def test_batch_empty():
     assert DeblockPipeline(64, 48, 35).batch([]) == []
+
+
+def test_batch_luma_only(rng):
+    w, h = 64, 48
+    frames = [_frame(rng, w, h) for _ in range(2)]
+    bs = BoundaryStrength.intra_default(w, h)
+    outs = DeblockPipeline(w, h, 35, backend="jnp", luma_only=True).batch(frames)
+    for f, o in zip(frames, outs):
+        gold = deblock_frame_golden(f, bs, 35, luma_only=True)
+        assert np.array_equal(gold.y, o.y)
+        assert np.array_equal(f.u, o.u) and np.array_equal(f.v, o.v)
