@@ -193,7 +193,8 @@ def bench_table(qp: int = 35) -> dict:
 
 
 def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
-                         backend: str = "pallas", qp: int = 35) -> dict:
+                         backend: str = "pallas", qp: int = 35,
+                         w: int = 3840, h: int = 2160) -> dict:
     """BASELINE config 5: multi-stream 4K deblock.
 
     On a multi-chip mesh the streams shard across devices (parallel/mesh.py);
@@ -202,7 +203,6 @@ def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
     """
     import jax.numpy as jnp
 
-    w, h = 3840, 2160
     raw = packed_yv12(synthetic_frame(w, h))
     n_dev = len(jax.devices())
     if n_dev > 1:

@@ -54,3 +54,13 @@ def test_autotune_smoke():
 
     r = bl.autotune_blocks(w=64, h=48, shapes=((8, 16), (4, 32)), iters=3)
     assert r["results_us"]
+
+
+def test_multistream_bench_mesh_branch():
+    """bench_4k_multistream takes the mesh-sharded branch on the 8-device
+    virtual CPU mesh (tiny stand-in geometry)."""
+    from bench.bench_lib import bench_4k_multistream
+
+    r = bench_4k_multistream(n_streams=2, frames_per_stream=2, w=64, h=48)
+    assert "sharded over 8 devices" in r["config"]
+    assert r["mpix_s"] > 0

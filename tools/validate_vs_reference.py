@@ -58,7 +58,10 @@ int main(int argc, char **argv) {
             }
             frame.SetBoundaryStrenght(v.data(), nv, hh.data(), nh);
         }
-        frame.DeblockingFilter(1);
+        // REF_THREADS exercises the reference's OpenMP path (cpu.h:135);
+        // tiles are independent so output must not depend on thread count
+        const char *t = getenv("REF_THREADS");
+        frame.DeblockingFilter(t ? atoi(t) : 1);
         frame.Save(argv[5]);
     } catch (const char *e) { fprintf(stderr, "error: %s\n", e); return 1; }
     return 0;
