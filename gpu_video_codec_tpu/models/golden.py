@@ -199,6 +199,10 @@ def _deblock_plane_golden(plane: np.ndarray, flat_vert: np.ndarray, flat_hor: np
 def deblock_frame_golden(frame: FramePlanes, bs: BoundaryStrength, qp: int,
                          luma_only: bool = False) -> FramePlanes:
     """Golden full-frame deblock: luma, then U, then V (cpu.h:134-993)."""
+    if (bs.width, bs.height) != (frame.width, frame.height):
+        # a mismatched BS object would silently produce a wrong oracle
+        # (every out-of-range read is defined as 0 by the Q2 rule)
+        raise ValueError("BoundaryStrength geometry does not match the frame")
     beta, tc = get_beta(qp), get_tc(qp)
     b = SAMPLE_BLOCK_SIZE
     y = frame.y.copy()

@@ -68,7 +68,11 @@ inline void q_coord(int phase, int r, int j, int &row, int &col) {
 struct PlaneView {
   uint8_t *data;
   int stride;  // extended width
-  inline uint8_t &at(int row, int col) const { return data[row * stride + col]; }
+  inline uint8_t &at(int row, int col) const {
+    // 64-bit offset: consistent with the pack/unpack transforms; int would
+    // overflow for planes >= 2 GiB
+    return data[(long long)row * stride + col];
+  }
 };
 
 // One luma segment: p[r][j] / q[r][j] value grids in, filtered values out.
@@ -134,15 +138,14 @@ void luma_segment(int p[4][4], int q[4][4], int beta, int tc,
   touched = 2;
 }
 
-void chroma_segment(int p[4][2], int q[4][2], int tc,
-                    int out_p[4][2], int out_q[4][2]) {
+// Only distance-0 pixels change (reference modifies only p0/q0, cpu.h:1475-1485).
+void chroma_segment(const int p[4][2], const int q[4][2], int tc,
+                    int out_p0[4], int out_q0[4]) {
   for (int r = 0; r < 4; ++r) {
     const int dp = clip1((((p[r][0] - q[r][0]) * 4) + p[r][1] - q[r][1] + 4) >> 3, tc);
     const int dq = clip1((((q[r][0] - p[r][0]) * 4) + q[r][1] - p[r][1] + 4) >> 3, tc);
-    out_p[r][0] = clip2(p[r][0] + dp);
-    out_p[r][1] = p[r][1];
-    out_q[r][0] = clip2(q[r][0] - dq);
-    out_q[r][1] = q[r][1];
+    out_p0[r] = clip2(p[r][0] + dp);
+    out_q0[r] = clip2(q[r][0] - dq);
   }
 }
 
@@ -174,7 +177,7 @@ void filter_tile_segment(const PlaneView &pl, int by, int bx, int phase,
         pl.at(r0 + rr, c0 + cc) = static_cast<uint8_t>(oq[r][j]);
       }
   } else {
-    int p[4][2], q[4][2], op[4][2], oq[4][2];
+    int p[4][2], q[4][2], op0[4], oq0[4];
     for (int r = 0; r < 4; ++r)
       for (int j = 0; j < 2; ++j) {
         int rr, cc;
@@ -183,13 +186,13 @@ void filter_tile_segment(const PlaneView &pl, int by, int bx, int phase,
         q_coord(phase, r, j, rr, cc);
         q[r][j] = pl.at(r0 + rr, c0 + cc);
       }
-    chroma_segment(p, q, tc, op, oq);
+    chroma_segment(p, q, tc, op0, oq0);
     for (int r = 0; r < 4; ++r) {
       int rr, cc;
       p_coord(phase, r, 0, rr, cc);
-      pl.at(r0 + rr, c0 + cc) = static_cast<uint8_t>(op[r][0]);
+      pl.at(r0 + rr, c0 + cc) = static_cast<uint8_t>(op0[r]);
       q_coord(phase, r, 0, rr, cc);
-      pl.at(r0 + rr, c0 + cc) = static_cast<uint8_t>(oq[r][0]);
+      pl.at(r0 + rr, c0 + cc) = static_cast<uint8_t>(oq0[r]);
     }
   }
 }
@@ -199,12 +202,19 @@ void filter_tile_segment(const PlaneView &pl, int by, int bx, int phase,
 void deblock_plane(uint8_t *plane, int hext, int wext, int lookup_w,
                    const uint8_t *vert_bs, long long n_vert,
                    const uint8_t *hor_bs, long long n_hor,
-                   int gate_ny, int gate_nx, int beta, int tc, bool chroma) {
+                   int gate_ny, int gate_nx, int beta, int tc, bool chroma,
+                   int num_threads) {
   const int ny = hext / kBlock, nx = wext / kBlock;
   const long long sv = lookup_w / kBlock + 1, sh = lookup_w / kBlock;
   const PlaneView pl{plane, wext};
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+  // num_threads clause instead of omp_set_num_threads: the latter is a
+  // sticky process-global, so "0 = library default" would actually mean
+  // "whatever the previous caller set"
+  const int nt = num_threads > 0 ? num_threads : omp_get_max_threads();
+#pragma omp parallel for schedule(static) num_threads(nt)
+#else
+  (void)num_threads;
 #endif
   for (int bx = 0; bx < nx; ++bx) {
     for (int by = 0; by < ny; ++by) {
@@ -247,14 +257,11 @@ int gvct_deblock_frame(uint8_t *y, uint8_t *u, uint8_t *v,
                        const uint8_t *chor_bs, long long n_chor,
                        int qp, int luma_only, int num_threads) {
   if (width % kBlock || height % kBlock || qp < 0) return 1;
-#ifdef _OPENMP
-  if (num_threads > 0) omp_set_num_threads(num_threads);
-#endif
   const int beta = get_beta(qp), tc = get_tc(qp);
   const int hext = height + kBlock, wext = width + kBlock;
   const int luma_ny = height / kBlock + 1, luma_nx = width / kBlock + 1;
   deblock_plane(y, hext, wext, width, vert_bs, n_vert, hor_bs, n_hor,
-                luma_ny, luma_nx, beta, tc, /*chroma=*/false);
+                luma_ny, luma_nx, beta, tc, /*chroma=*/false, num_threads);
   if (!luma_only) {
     const int cw = width / 2, ch = height / 2;
     const int chext = ch + kBlock, cwext = cw + kBlock;
@@ -266,9 +273,9 @@ int gvct_deblock_frame(uint8_t *y, uint8_t *u, uint8_t *v,
     const int eff_h = (chext / kBlock) * kBlock;
     const int eff_w = (cwext / kBlock) * kBlock;
     deblock_plane(u, eff_h, eff_w, cw, cvert_bs, n_cvert, chor_bs, n_chor,
-                  luma_ny, luma_nx, beta, tc, /*chroma=*/true);
+                  luma_ny, luma_nx, beta, tc, /*chroma=*/true, num_threads);
     deblock_plane(v, eff_h, eff_w, cw, cvert_bs, n_cvert, chor_bs, n_chor,
-                  luma_ny, luma_nx, beta, tc, /*chroma=*/true);
+                  luma_ny, luma_nx, beta, tc, /*chroma=*/true, num_threads);
   }
   return 0;
 }
