@@ -1,6 +1,8 @@
 """Mesh-sharded batch deblock vs the single-device path, on the 8-device
 virtual CPU mesh (BASELINE config 5's correctness side)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +88,28 @@ def test_dryrun_multichip_various_counts(n, monkeypatch):
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
     ge.dryrun_multichip(n)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """Round-1 regression (VERDICT.md missing #1): run dryrun_multichip the
+    exact way the driver does -- a FRESH subprocess whose environment still
+    carries the shell profile's JAX_PLATFORMS=axon -- and require rc 0.  The
+    function must self-provision the 8-device virtual CPU mesh; conftest's
+    pre-provisioned env must play no part."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # what the driver's shell inherits
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["XLA_FLAGS"] = ""  # no pre-provisioned virtual devices
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-2000:]}"
+    assert "dryrun_multichip OK" in proc.stdout
 
 
 def test_sharded_pallas_backend(rng):
