@@ -20,7 +20,6 @@ from ..utils.bs import BoundaryStrength
 from ..utils.yuv import FramePlanes
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "src", "deblock_cpu.cpp")
 _LIB = os.path.join(_DIR, "libgvct_runtime.so")
 
 
@@ -47,7 +46,14 @@ def load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    # stale if older than ANY build input (sources AND the Makefile -- a
+    # flags-only change must rebuild too)
+    src_dir = os.path.join(_DIR, "src")
+    inputs = [os.path.join(src_dir, f) for f in os.listdir(src_dir)
+              if f.endswith((".cpp", ".h")) or f == "Makefile"]
+    if not os.path.exists(_LIB) or (
+        inputs and os.path.getmtime(_LIB) < max(map(os.path.getmtime, inputs))
+    ):
         _build()
     lib = ctypes.CDLL(_LIB)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -81,15 +87,29 @@ def _u8ptr(a: np.ndarray):
 
 
 def deblock_frame_native(frame: FramePlanes, bs: BoundaryStrength, qp: int,
-                         luma_only: bool = False, num_threads: int = 0) -> FramePlanes:
+                         luma_only: bool = False, num_threads: int = 0,
+                         inplace: bool = False) -> FramePlanes:
     """Deblock via the C++ OpenMP backend (reference ExecuteCpu parity).
 
     num_threads = 0 keeps the OpenMP default (the reference sweeps 1/2/4/6/8
-    via omp_set_num_threads, cpu.h:135 / main.cu:40-82)."""
+    via omp_set_num_threads, cpu.h:135 / main.cu:40-82).
+
+    inplace=True filters the frame's own plane buffers (they must be
+    C-contiguous uint8) -- the reference's own in-place semantics
+    (cpu.h:134-993) with zero copies; inplace=False (default) returns a new
+    FramePlanes and leaves the input untouched."""
     lib = load()
-    y = np.ascontiguousarray(frame.y).copy()
-    u = np.ascontiguousarray(frame.u).copy()
-    v = np.ascontiguousarray(frame.v).copy()
+    if inplace:
+        y, u, v = frame.y, frame.u, frame.v
+        for name, a in (("y", y), ("u", u), ("v", v)):
+            if not (isinstance(a, np.ndarray) and a.dtype == np.uint8
+                    and a.flags["C_CONTIGUOUS"] and a.flags["WRITEABLE"]):
+                raise ValueError(f"inplace deblock needs writable C-contiguous "
+                                 f"uint8 planes; plane {name} is not")
+    else:
+        y = np.ascontiguousarray(frame.y).copy()
+        u = np.ascontiguousarray(frame.u).copy()
+        v = np.ascontiguousarray(frame.v).copy()
     rc = lib.gvct_deblock_frame(
         _u8ptr(y), _u8ptr(u), _u8ptr(v), frame.width, frame.height,
         _u8ptr(bs.vert), bs.vert.size, _u8ptr(bs.hor), bs.hor.size,

@@ -32,6 +32,7 @@ DRIVER = r"""
 // `seed` injects pseudo-random luma BS via SetBoundaryStrenght using an
 // LCG the python side replicates (exercises the injection path too).
 #include "hevc_deblocking_filter_cpu.h"
+#include <chrono>
 #include <cstdlib>
 #include <cstdio>
 #include <vector>
@@ -61,7 +62,25 @@ int main(int argc, char **argv) {
         // REF_THREADS exercises the reference's OpenMP path (cpu.h:135);
         // tiles are independent so output must not depend on thread count
         const char *t = getenv("REF_THREADS");
-        frame.DeblockingFilter(t ? atoi(t) : 1);
+        int nthreads = t ? atoi(t) : 1;
+        // REF_BENCH_REPS=N: time the filter like main.cu:41-43 does (bracket
+        // around DeblockingFilter only; frame re-read outside the bracket),
+        // best-of-N, printed as "BENCH <seconds>" for the bench harness.
+        const char *reps_env = getenv("REF_BENCH_REPS");
+        if (reps_env) {
+            int reps = atoi(reps_env);
+            double best = 1e30;
+            for (int i = 0; i < reps; i++) {
+                ReadYuvFrame f2(argv[1], w, h, atoi(argv[4]));
+                auto t0 = std::chrono::steady_clock::now();
+                f2.DeblockingFilter(nthreads);
+                std::chrono::duration<double> dt =
+                    std::chrono::steady_clock::now() - t0;
+                if (dt.count() < best) best = dt.count();
+            }
+            printf("BENCH %.9f\n", best);
+        }
+        frame.DeblockingFilter(nthreads);
         frame.Save(argv[5]);
     } catch (const char *e) { fprintf(stderr, "error: %s\n", e); return 1; }
     return 0;
