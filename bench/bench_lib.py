@@ -132,12 +132,19 @@ def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 1
     }
 
 
-def bench_native_cpu(qp: int = 35, thread_counts=(1, 2, 4, 6, 8), repeats: int = 5) -> list[dict]:
+_GEOMETRIES = ((352, 288, "CIF"), (1920, 1080, "1080p"))
+
+
+def bench_native_cpu(qp: int = 35, thread_counts=(1, 2, 4, 6, 8), repeats: int = 5,
+                     geometries=_GEOMETRIES) -> list[dict]:
     """Reference README-table parity: the CPU filter at several OpenMP thread
-    counts on the committed workload (mother-daughter CIF, Qp 35;
-    main.cu:40-82), via the native C++ backend."""
+    counts (main.cu:40-82) via the native C++ backend -- at CIF (the
+    committed workload) AND at 1080p, where a parallel region has enough work
+    to amortize.  NOTE: this host exposes a single CPU core (nproc == 1), so
+    >1x thread scaling is physically impossible here; the meaningful row is
+    the same-host comparison against the compiled reference
+    (bench_reference_cpu)."""
     import os
-    import time as _t
 
     from gpu_video_codec_tpu.runtime import native
     from gpu_video_codec_tpu.utils.bs import BoundaryStrength
@@ -145,22 +152,79 @@ def bench_native_cpu(qp: int = 35, thread_counts=(1, 2, 4, 6, 8), repeats: int =
 
     if not native.available():
         return [{"error": "native toolchain unavailable"}]
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "testdata", "mother-daughter_352x288_yv12.yuv")
-    frame = read_yv12(path, 352, 288)
-    bs = BoundaryStrength.intra_default(352, 288)
     rows = []
-    for nt in thread_counts:
-        native.deblock_frame_native(frame, bs, qp, num_threads=nt)  # warm
-        best = min(
-            _timeit_once(lambda: native.deblock_frame_native(frame, bs, qp, num_threads=nt))
-            for _ in range(repeats)
-        )
-        rows.append({
-            "config": f"native CPU, {nt} threads, CIF",
-            "filter_s": best,
-            "mpix_s": 352 * 288 / best / 1e6,
-        })
+    for w, h, label in geometries:
+        if (w, h) == (352, 288):
+            path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                "testdata", "mother-daughter_352x288_yv12.yuv")
+            frame = read_yv12(path, w, h)
+        else:
+            frame = synthetic_frame(w, h)
+        bs = BoundaryStrength.intra_default(w, h)
+        # in-place on a scratch copy: times the FILTER (like the reference's
+        # main.cu:41-43 bracket), not the convenience-API plane copies; the
+        # scratch is restored OUTSIDE the bracket each rep so every timed call
+        # filters the original data
+        scratch = type(frame)(frame.y.copy(), frame.u.copy(), frame.v.copy(),
+                              frame.width, frame.height)
+
+        def one_rep(nt: int) -> float:
+            np.copyto(scratch.y, frame.y)
+            np.copyto(scratch.u, frame.u)
+            np.copyto(scratch.v, frame.v)
+            return _timeit_once(lambda: native.deblock_frame_native(
+                scratch, bs, qp, num_threads=nt, inplace=True))
+
+        for nt in thread_counts:
+            one_rep(nt)  # warm
+            best = min(one_rep(nt) for _ in range(repeats))
+            rows.append({
+                "config": f"native CPU, {nt} threads, {label}",
+                "filter_s": best,
+                "mpix_s": w * h / best / 1e6,
+            })
+    return rows
+
+
+def bench_reference_cpu(qp: int = 35, thread_counts=(1, 2, 4, 6, 8), reps: int = 5,
+                        geometries=_GEOMETRIES,
+                        ref_dir: str = "/root/reference/hevc_deblocking_filter") -> list[dict]:
+    """Same-host apples-to-apples rows: compile the ACTUAL reference CPU
+    implementation (tools/validate_vs_reference.py's driver, REF_BENCH_REPS
+    timing bracket = main.cu:41-43's) and time DeblockingFilter at the same
+    thread counts and geometries as bench_native_cpu.  This is the honest
+    'beats the reference CPU' comparison -- the reference README numbers were
+    measured on different hardware."""
+    import os
+    import shutil
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    if not (os.path.exists(os.path.join(ref_dir, "hevc_deblocking_filter_cpu.h"))
+            and shutil.which("g++")):
+        return [{"error": "reference checkout or g++ unavailable"}]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "tools"))
+    from validate_vs_reference import build_reference
+
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_reference(ref_dir, td)
+        for w, h, label in geometries:
+            inp = os.path.join(td, f"in_{w}x{h}.yuv")
+            packed_yv12(synthetic_frame(w, h)).tofile(inp)
+            out = os.path.join(td, "out.yuv")
+            for nt in thread_counts:
+                env = dict(os.environ, REF_THREADS=str(nt), REF_BENCH_REPS=str(reps))
+                r = subprocess.run([exe, inp, str(w), str(h), str(qp), out],
+                                   env=env, capture_output=True, text=True, check=True)
+                best = float(r.stdout.split("BENCH")[1].split()[0])
+                rows.append({
+                    "config": f"compiled reference CPU, {nt} threads, {label}",
+                    "filter_s": best,
+                    "mpix_s": w * h / best / 1e6,
+                })
     return rows
 
 
@@ -171,9 +235,11 @@ def _timeit_once(f) -> float:
 
 
 def bench_table(qp: int = 35) -> dict:
-    """The full README-style table: CPU thread sweep + TPU kernel/copy split
-    at CIF and 1080p, batched CIF, both TPU backends."""
+    """The full README-style table: compiled-reference + native CPU thread
+    sweeps (same host), TPU kernel/copy split at CIF and 1080p, batched CIF,
+    both TPU backends."""
     rows: list[dict] = []
+    rows += bench_reference_cpu(qp)
     rows += bench_native_cpu(qp)
     for w, h, label in ((352, 288, "CIF"), (1920, 1080, "1080p")):
         raw = packed_yv12(synthetic_frame(w, h))
@@ -336,6 +402,47 @@ def soak(n_frames: int = 1000, qp: int = 35, w: int = 1920, h: int = 1080) -> di
     }
 
 
+def link_h2d_microbench(mb: float = 3.1, n: int = 40, repeats: int = 3) -> dict:
+    """Pure host->HBM link microbenchmark: device_put of random packed-YV12-
+    sized buffers (no framework code in the loop), cycling 8 distinct source
+    buffers so neither side can cache.  Separates wire speed from framework
+    overhead -- if the pipelined rate matches this, the pipeline is
+    link-bound, not framework-bound."""
+    size = int(mb * 1e6)
+    rng = np.random.default_rng(0)
+    bufs = [rng.integers(0, 256, size, dtype=np.uint8) for _ in range(8)]
+    jax.block_until_ready(jax.device_put(bufs[0]))  # warm path
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        handles = [jax.device_put(bufs[i % 8]) for i in range(n)]
+        jax.block_until_ready(handles)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return {
+        "buffer_mb": size / 1e6,
+        "per_put_s": best,
+        "gb_s": size / best / 1e9,
+    }
+
+
+def bench_resident(w: int = 1920, h: int = 1080, qp: int = 35,
+                   iters: int = 100) -> dict:
+    """Device-resident (layout-persistent) steady state: tile-planes in,
+    tile-planes out, so the per-step graph is exactly the fused kernels --
+    no plane<->tile-planes transposes (models/resident.py).  This is the
+    honest kernel cost for a pipeline whose frames stay on device."""
+    from gpu_video_codec_tpu.models.resident import ResidentDeblocker
+
+    raw = packed_yv12(synthetic_frame(w, h))
+    rd = ResidentDeblocker(w, h, qp)
+    r = rd.step_time(raw, iters=iters)
+    return {
+        "config": f"{w}x{h} device-resident tile-planes step (kernels only)",
+        "step_us": round(r["step_us"], 2),
+        "mpix_s": round(r["mpix_s"], 1),
+    }
+
+
 def profile_trace(out_dir: str, qp: int = 35) -> str:
     """Capture a jax.profiler trace of one 1080p streaming step (the
     observability hook; reference has only chrono brackets, main.cu:41-45)."""
@@ -350,17 +457,23 @@ def profile_trace(out_dir: str, qp: int = 35) -> str:
     return out_dir
 
 
-def headline(n_frames: int = 50) -> dict:
+def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
     """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12.
 
     value / vs_baseline compare kernel-only against the reference's best
     kernel-only number (744 Mpix/s, GTX 1060 pinned -- the same "without
-    copy" definition, README.md:24 of the reference).  The copy-overlap
-    pipeline number is in details; in this dev environment it is bound by
-    the network-tunneled host->TPU link (~1.5 GB/s), not by the framework
-    (vs the reference's with-copy 119 Mpix/s it is still ~8x)."""
+    copy" definition, README.md:24 of the reference).  details carries the
+    full honesty kit: the burst pipelined rate, the SUSTAINED post-burst rate
+    from a soak (they differ ~10x on the dev tunnel), a pure device_put link
+    microbench proving where the pipelined ceiling comes from, and the
+    device-resident steady state (kernels only, no layout passes)."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
     value = r["kernel_mpix_s"]
+    link = link_h2d_microbench()
+    resident = bench_resident()
+    sk = soak(n_frames=soak_frames)
+    frame_mb = 3.1  # packed 1080p YV12
+    link_bound_mpix_s = link["gb_s"] * 1e3 / frame_mb * 1920 * 1080 / 1e6
     return {
         "metric": "filtered Mpix/s/chip at 1080p YV12 (luma px, fused kernel, no copy)",
         "value": round(value, 1),
@@ -368,8 +481,18 @@ def headline(n_frames: int = 50) -> dict:
         "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
         "details": {
             **{k: round(v, 2) if isinstance(v, float) else v for k, v in r.items()},
+            "resident_step_us": resident["step_us"],
+            "resident_mpix_s": resident["mpix_s"],
             "pipelined_vs_reference_e2e": round(r["pipelined_mpix_s"] / REF_E2E_MPIX_S, 2),
-            "pipelined_note": "copy-overlap pipeline; H2D-bound at the dev tunnel's wire speed",
+            "sustained_mpix_s": round(sk["sustained_mpix_s"], 1),
+            "sustained_note": f"post-burst median over a {sk['frames']}-frame soak; "
+                              "burst vs sustained is a property of the dev tunnel link",
+            "link_h2d_gbs": round(link["gb_s"], 3),
+            "link_bound_mpix_s": round(link_bound_mpix_s, 1),
+            "pipelined_note": (
+                "copy-overlap pipeline; H2D-bound -- compare pipelined_mpix_s "
+                "with link_bound_mpix_s (pure device_put ceiling at "
+                f"{round(link['gb_s'], 2)} GB/s measured on this link)"),
             "reference_best_kernel_mpix_s": REF_KERNEL_MPIX_S,
             "reference_best_e2e_mpix_s": REF_E2E_MPIX_S,
             "north_star_mpix_s": NORTH_STAR_MPIX_S,

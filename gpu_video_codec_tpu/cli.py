@@ -18,18 +18,44 @@ from .utils.config import BACKENDS, DeblockConfig
 
 
 def device_info() -> dict:
-    """GetGpuDeviceInfo equivalent (main.cu:92-107)."""
+    """GetGpuDeviceInfo equivalent (main.cu:92-107).
+
+    The reference prints, per device: name, total global memory, SM count,
+    warp size.  The structured analogue per TPU/accelerator: device kind
+    (name), HBM totals/usage from memory_stats, core-on-chip index and
+    process/host placement (the closest notions to SM count/locality JAX
+    exposes)."""
     import jax
 
     devs = jax.devices()
+    out = []
+    for d in devs:
+        info = {
+            "id": d.id,
+            "platform": d.platform,
+            "kind": getattr(d, "device_kind", "?"),
+            "process_index": getattr(d, "process_index", 0),
+            "core_on_chip": getattr(d, "core_on_chip", None),
+            "coords": tuple(getattr(d, "coords", ()) or ()) or None,
+        }
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:  # backends without memory introspection (e.g. CPU)
+            stats = {}
+        if stats:
+            # normalized picks (reference's totalGlobalMem analogue) plus the
+            # raw dict for anything backend-specific
+            info["memory"] = {
+                "bytes_limit": stats.get("bytes_limit"),
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            }
+            info["memory_stats"] = stats
+        out.append(info)
     return {
         "backend": jax.default_backend(),
         "num_devices": len(devs),
-        "devices": [
-            {"id": d.id, "platform": d.platform,
-             "kind": getattr(d, "device_kind", "?")}
-            for d in devs
-        ],
+        "devices": out,
     }
 
 
@@ -105,19 +131,25 @@ def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -
     if n == 0:
         raise ValueError(f"need at least {n_streams} complete frames for --streams {n_streams}")
 
-    sink = open(cfg.output, "wb") if cfg.output else None
-    done = 0
-    try:
-        t0 = time.perf_counter()
+    def batches():
         group: list[bytes] = []
         for raw in _raw_frames(cfg.input, frame_bytes, n):
             group.append(raw)
             if len(group) == n_streams:
-                for out in ms.step(group):
-                    if sink is not None:
-                        sink.write(out.tobytes())
-                done += len(group)
+                yield group
                 group = []
+
+    sink = open(cfg.output, "wb") if cfg.output else None
+    done = 0
+    try:
+        t0 = time.perf_counter()
+        # overlapped: `depth` sharded batches in flight (next batch's H2D
+        # under the current batch's kernels), not a serial step() loop
+        for outs in ms.run_batches(batches()):
+            for out in outs:
+                if sink is not None:
+                    sink.write(out.tobytes())
+            done += len(outs)
         dt = time.perf_counter() - t0
     finally:
         if sink is not None:

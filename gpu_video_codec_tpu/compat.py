@@ -121,7 +121,16 @@ def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
                Qp: int, luma_block=(8, 128), chroma_block=(8, 128)) -> dict:
     """Reference ExecuteGpu parity (gpu.cu:1230-1306): fused-kernel filter
     with caller-chosen per-plane block dims, timing the copy and kernel
-    separately like the original's 'with copy' / 'without copy' split."""
+    separately like the original's 'with copy' / 'without copy' split.
+
+    Returned keys mirror the reference's brackets honestly:
+      kernel_s  -- filter step alone, input already resident (gpu.cu:1266-1291)
+      h2d_s     -- host->HBM copy alone (the reference's H2D at gpu.cu:1248-1256;
+                   D2H is NOT included in this key, hence the name)
+      total_s   -- a MEASURED synchronous put -> filter -> get wall loop, the
+                   true analogue of the reference's 'with copy' total
+                   (gpu.cu:1246-1303), not a sum of separately-timed parts.
+    """
     from .models.streaming import StreamingDeblocker
 
     with open(input_file, "rb") as f:
@@ -132,6 +141,6 @@ def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
     (out,) = list(s.run([raw]))
     with open(output_file, "wb") as f:
         f.write(out.tobytes())
-    tb = s.time_breakdown(raw, n=10)
-    return {"kernel_s": tb["kernel_s"], "copy_s": tb["h2d_s"],
-            "total_s": tb["kernel_s"] + tb["h2d_s"]}
+    tb = s.time_breakdown(raw, n=10, measure_d2h=True)
+    return {"kernel_s": tb["kernel_s"], "h2d_s": tb["h2d_s"],
+            "total_s": tb["e2e_sync_s"]}

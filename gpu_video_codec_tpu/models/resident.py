@@ -1,0 +1,225 @@
+"""Device-resident, layout-persistent streaming: tile-planes end to end.
+
+The per-frame cost of the standard streaming path (models/streaming.py) is
+dominated not by the fused deblock kernel but by the layout contract around
+it -- packed YV12 bytes in, packed YV12 bytes out -- whose plane <-> tile-
+planes transposes run as XLA copy passes over the whole frame (docs/PERF.md:
+~21 us full graph vs ~8 us HBM floor at 1080p).  For a pipeline whose frames
+*stay on device between stages* (a codec loop, a transcode graph, a filter
+chain), those transposes are pure overhead: the producer can hand this stage
+tile-planes directly and the consumer can keep them.
+
+This module makes the canonical device layout -- (8, 8, By, Bx) tile-planes,
+grid pre-padded to the Pallas block shape -- a first-class streaming state:
+
+  ingest(raw)    one host->HBM DMA + one relayout pass     (once per frame)
+  step(state)    the fused Pallas kernels and NOTHING else (the steady state)
+  readback(st)   one relayout pass + one device->host DMA  (only at the sink)
+
+so an on-device consumer pays layout cost once at the pipeline boundary, and
+the steady-state deblock step is kernel-only.
+
+Reference parity: the reference has no analogue -- its GPU path re-uploads,
+re-launches, and re-downloads per frame unconditionally (gpu.cu:1248-1298).
+This is the TPU-native answer to that structural waste.
+
+Quirk handling is identical to every other path: chroma sweeps the flat
+(8*ncby, 8*ncbx) view (Q9, utils/tiles.split_covered_data) with the
+uncovered flat remainder carried through the state untouched; grid padding
+tiles are zero pixels with BS = 0, i.e. exact no-ops (Q5 done right).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY, _pad_to, deblock_tiles_pallas
+from ..ops.tables import HALF_BLOCK, get_beta, get_tc
+from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
+from ..utils.tiles import (
+    SAMPLE_BLOCK_SIZE as _B,
+    join_covered,
+    plane_to_tiles,
+    split_covered_data,
+    tiles_to_plane,
+)
+from ..utils.yuv import check_dims
+
+
+class TileFrame(NamedTuple):
+    """Device-resident frame state (a jit-friendly pytree).
+
+    y:  (8, 8, Byp, Bxp) uint8 luma tile-planes, grid padded to the Pallas
+        block shape with no-op tiles.
+    uv: (8, 8, 2*cBy (padded), cBxp) uint8 -- U and V covered-core tile grids
+        concatenated along By (one fused chroma launch per step).
+    u_rem / v_rem: flat uncovered remainder of the extended chroma planes
+        (quirk Q9); never touched by the filter, carried for exact readback.
+    """
+
+    y: jax.Array
+    uv: jax.Array
+    u_rem: jax.Array
+    v_rem: jax.Array
+
+
+def _effective_block(block: tuple[int, int], by: int, bx: int) -> tuple[int, int]:
+    """Mirror deblock_tiles_pallas's adaptive block clamp so ingest can pad
+    the grid to exactly the multiples the kernel will use."""
+    return (min(block[0], -(-by // 8) * 8), min(block[1], -(-bx // 8) * 8))
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "lb", "cb"))
+def _ingest(buf, w, h, lb, cb):
+    """Packed YV12 uint8 (3wh/2,) -> TileFrame, one relayout pass."""
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    y = jnp.pad(buf[: w * h].reshape(h, w), p)  # defined-zero padding (Q6)
+    u = jnp.pad(buf[w * h : w * h + cw * ch].reshape(ch, cw), p)
+    v = jnp.pad(buf[w * h + cw * ch :].reshape(ch, cw), p)
+
+    yt = plane_to_tiles(y)
+    yt = _pad_to(yt, *_effective_block(lb, yt.shape[-2], yt.shape[-1]))
+
+    u_core, u_rem = split_covered_data(u)
+    v_core, v_rem = split_covered_data(v)
+    uv = jnp.concatenate([plane_to_tiles(u_core), plane_to_tiles(v_core)], axis=2)
+    uv = _pad_to(uv, *_effective_block(cb, uv.shape[-2], uv.shape[-1]))
+    return TileFrame(yt, uv, u_rem, v_rem)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h"))
+def _readback(tf: TileFrame, w, h):
+    """TileFrame -> filtered packed YV12 uint8, one relayout pass."""
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    hext, wext = h + 2 * p, w + 2 * p
+    chext, cwext = ch + 2 * p, cw + 2 * p
+    by, bx = hext // _B, wext // _B
+    # covered chroma grid dims (truncating division, Q9 / cpu.h:450-451)
+    cby, cbx = chext // _B, cwext // _B
+
+    y = tiles_to_plane(tf.y[..., :by, :bx])
+    u_core = tiles_to_plane(tf.uv[..., :cby, :cbx])
+    v_core = tiles_to_plane(tf.uv[..., cby : 2 * cby, :cbx])
+    u = join_covered(u_core, tf.u_rem, chext, cwext, jnp)
+    v = join_covered(v_core, tf.v_rem, chext, cwext, jnp)
+    return jnp.concatenate([
+        y[p : p + h, p : p + w].ravel(),
+        u[p : p + ch, p : p + cw].ravel(),
+        v[p : p + ch, p : p + cw].ravel(),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("luma_only", "lb", "cb"))
+def _step(tf: TileFrame, lm, cm, beta, tc, luma_only, lb, cb):
+    """The steady state: fused Pallas kernels only, zero layout work.
+
+    Grids are pre-padded at ingest, so the kernels' own _pad_to is a no-op
+    and the graph is exactly two pallas_calls (one with luma_only)."""
+    y = deblock_tiles_pallas(tf.y, *lm, beta, tc, chroma=False,
+                             block_by=lb[0], block_bx=lb[1])
+    if luma_only:
+        return TileFrame(y, tf.uv, tf.u_rem, tf.v_rem)
+    uv = deblock_tiles_pallas(tf.uv, *cm, beta, tc, chroma=True,
+                              block_by=cb[0], block_bx=cb[1])
+    return TileFrame(y, uv, tf.u_rem, tf.v_rem)
+
+
+class ResidentDeblocker:
+    """Deblocks frames that live on device in tile-planes layout.
+
+    Usage (device-resident pipeline):
+        rd = ResidentDeblocker(w, h, qp)
+        state = rd.ingest(raw_yv12)      # boundary: host -> canonical layout
+        state = rd.step(state)           # kernel-only; chain with other
+        ...                              #   tile-planes stages freely
+        out = rd.readback(state)         # boundary: canonical layout -> host
+
+    One-shot convenience: rd(raw) == readback(step(ingest(raw))), which is
+    bit-identical to DeblockPipeline/StreamingDeblocker on the same frame.
+    """
+
+    def __init__(self, width: int, height: int, qp: int, *,
+                 luma_only: bool = False, bs: BoundaryStrength | None = None,
+                 luma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX),
+                 chroma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX)):
+        check_dims(width, height)  # reference contract (cpu.h:46-48)
+        self.width, self.height, self.qp = width, height, int(qp)
+        self.frame_bytes = 3 * width * height // 2
+        self._luma_only = luma_only
+        self._beta = jnp.int32(get_beta(qp))
+        self._tc = jnp.int32(get_tc(qp))
+
+        p = HALF_BLOCK
+        by, bx = (height + 2 * p) // _B, (width + 2 * p) // _B
+        cby = (height // 2 + 2 * p) // _B
+        cbx = (width // 2 + 2 * p) // _B
+        self._lb = _effective_block(tuple(luma_block), by, bx)
+        self._cb = _effective_block(tuple(chroma_block), 2 * cby, cbx)
+
+        bs = bs or BoundaryStrength.intra_default(width, height)
+        lm = luma_segment_maps(bs)
+        cm = chroma_segment_maps(bs)
+        # pad maps once to the padded grid; padding tiles get BS = 0 (no-op)
+        self._lm = tuple(jnp.asarray(_pad_to(np.asarray(m), *self._lb)) for m in lm)
+        self._cm = tuple(
+            jnp.asarray(_pad_to(np.concatenate([m, m], axis=0), *self._cb)) for m in cm
+        )
+
+    # -- pipeline boundaries --------------------------------------------------
+
+    def ingest(self, frame) -> TileFrame:
+        """Host frame (bytes / uint8 buffer) -> device TileFrame.  Accepts an
+        already-device-resident packed buffer too (skips the H2D)."""
+        if isinstance(frame, jax.Array):
+            buf = frame
+        else:
+            arr = (np.frombuffer(frame, np.uint8)
+                   if isinstance(frame, (bytes, bytearray))
+                   else np.asarray(frame, np.uint8).ravel())
+            if arr.size != self.frame_bytes:
+                raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
+            buf = jax.device_put(arr)
+        return _ingest(buf, self.width, self.height, self._lb, self._cb)
+
+    def step(self, tf: TileFrame) -> TileFrame:
+        """Kernel-only deblock of a resident frame (the steady state)."""
+        return _step(tf, self._lm, self._cm, self._beta, self._tc,
+                     self._luma_only, self._lb, self._cb)
+
+    def readback(self, tf: TileFrame) -> np.ndarray:
+        """Device TileFrame -> filtered packed YV12 on the host."""
+        return jax.device_get(_readback(tf, self.width, self.height))
+
+    def __call__(self, frame) -> np.ndarray:
+        return self.readback(self.step(self.ingest(frame)))
+
+    # -- measurement -----------------------------------------------------------
+
+    def step_time(self, frame, iters: int = 100, repeats: int = 3) -> dict:
+        """Steady-state resident step latency, measured with a CHAINED loop
+        (each step consumes the previous output -- the honest dispatch-
+        overlap-free number; see CLAUDE.md on fresh-jit timing artifacts)."""
+        tf = self.step(self.ingest(frame))
+        jax.block_until_ready(tf.y)
+        best = float("inf")
+        for _ in range(repeats):
+            t = tf
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                t = self.step(t)
+            jax.block_until_ready(t.y)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        luma_px = self.width * self.height
+        return {
+            "step_s": best,
+            "step_us": best * 1e6,
+            "mpix_s": luma_px / best / 1e6,
+        }

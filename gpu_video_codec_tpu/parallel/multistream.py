@@ -5,8 +5,11 @@ concurrent YV12 streams (e.g. N cameras or N transcode jobs) are zipped into
 per-step frame batches, sharded over the ("data", "spatial") mesh -- frames
 across the data axis, tile-row slabs across the spatial axis -- and returned
 per stream, with the same copy/compute overlap story as the single-chip
-pipeline (async dispatch queues the next batch's H2D under the current
-batch's kernels).
+pipeline: run() keeps `depth` batches in flight through JAX's async dispatch
+queue, so batch i+1's host prep + H2D proceed under batch i's kernels and
+only the oldest batch is drained per step (steady state = max(copy, compute)
+per batch, not copy + compute -- the serialized copy->kernel->copy of the
+reference's ExecuteGpu, gpu.cu:1248-1298, is the anti-pattern).
 
 The reference has no distributed analogue (single GPU, single stream,
 gpu.cu:1230-1306); this is the TPU-native scaling story for its hypothetical
@@ -15,6 +18,7 @@ multi-stream usage (SURVEY.md section 2, parallelism checklist).
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Iterable, Iterator, Sequence
 
 import jax
@@ -33,11 +37,12 @@ class MultiStreamDeblocker:
     mesh: a ("data", "spatial") Mesh (parallel.make_mesh).  The number of
     streams must be a multiple of the data axis.  Frames are raw packed
     YV12 buffers (bytes or uint8 arrays of 3*w*h/2).
+    depth: sharded batches in flight during run() (2 = double buffering).
     """
 
     def __init__(self, mesh, n_streams: int, width: int, height: int, qp: int,
                  *, backend: str = "jnp", luma_only: bool = False,
-                 bs: BoundaryStrength | None = None):
+                 bs: BoundaryStrength | None = None, depth: int = 2):
         check_dims(width, height)
         if n_streams % mesh.shape["data"]:
             raise ValueError(
@@ -49,6 +54,7 @@ class MultiStreamDeblocker:
         self.frame_bytes = 3 * width * height // 2
         self.backend = backend
         self.luma_only = luma_only
+        self.depth = max(1, depth)
         bs = bs or BoundaryStrength.intra_default(width, height)
         self._lm = luma_segment_maps(bs)
         self._cm = chroma_segment_maps(bs)
@@ -69,17 +75,21 @@ class MultiStreamDeblocker:
             vs.append(np.pad(arr[w * h + cw * ch :].reshape(ch, cw), p))
         return np.stack(ys), np.stack(us), np.stack(vs)
 
-    def step(self, raws: Sequence) -> list[np.ndarray]:
-        """One sharded batch step: one frame per stream in, filtered packed
-        frames out (in stream order)."""
+    def _dispatch(self, raws: Sequence):
+        """Enqueue one sharded batch (H2D + kernels) WITHOUT draining: returns
+        device arrays still in flight behind JAX's async dispatch queue."""
         if len(raws) != self.n:
             raise ValueError(f"expected {self.n} frames (one per stream), got {len(raws)}")
         ys, us, vs = self._to_planes(raws)
-        yo, uo, vo = deblock_batch_sharded_jit(
+        return deblock_batch_sharded_jit(
             self.mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             self._lm, self._cm, self._beta, self._tc,
             luma_only=self.luma_only, backend=self.backend,
         )
+
+    def _drain(self, handles) -> list[np.ndarray]:
+        """Block on one in-flight batch and repack per stream."""
+        yo, uo, vo = handles
         yo = jax.device_get(yo)
         uo = jax.device_get(uo)
         vo = jax.device_get(vo)
@@ -94,10 +104,29 @@ class MultiStreamDeblocker:
             for i in range(self.n)
         ]
 
+    def step(self, raws: Sequence) -> list[np.ndarray]:
+        """One synchronous sharded batch step: one frame per stream in,
+        filtered packed frames out (in stream order).  For overlapped
+        multi-batch throughput use run() -- step() fully drains."""
+        return self._drain(self._dispatch(raws))
+
+    def run_batches(self, batches: Iterable[Sequence]) -> Iterator[list[np.ndarray]]:
+        """Overlapped core: consume an iterable of n_streams-frame batches,
+        keeping `depth` sharded batches in flight -- batch i+1's host prep
+        and H2D ride under batch i's kernels, and draining lags dispatch by
+        depth-1 batches (real cross-step copy/compute overlap, unlike a
+        serial step() loop)."""
+        inflight: deque = deque()
+        for raws in batches:
+            inflight.append(self._dispatch(raws))
+            if len(inflight) >= self.depth:
+                yield self._drain(inflight.popleft())
+        while inflight:
+            yield self._drain(inflight.popleft())
+
     def run(self, streams: Sequence[Iterable]) -> Iterator[list[np.ndarray]]:
         """Zip N frame iterables; yield one list of filtered frames (one per
-        stream) per step until the shortest stream ends."""
+        stream) per overlapped step until the shortest stream ends."""
         if len(streams) != self.n:
             raise ValueError(f"expected {self.n} streams, got {len(streams)}")
-        for raws in zip(*streams):
-            yield self.step(list(raws))
+        return self.run_batches(list(raws) for raws in zip(*streams))

@@ -55,6 +55,31 @@ def split_covered(plane):
     return core, paste
 
 
+def split_covered_data(plane):
+    """Data-oriented split_covered: returns (core, remainder) as ARRAYS
+    instead of (core, paste-closure), so the pieces can live inside jit
+    pytrees (the device-resident streaming state).  Same Q9 semantics:
+    `core` is the first (8*ncby)*(8*ncbx) bytes of the flat plane viewed as
+    an (8*ncby, 8*ncbx) row-major image; `remainder` is the untouched flat
+    tail (possibly containing real bottom chroma rows)."""
+    core, _ = split_covered(plane)
+    lead = plane.shape[:-2]
+    h, w = plane.shape[-2], plane.shape[-1]
+    vh, vw = core.shape[-2], core.shape[-1]
+    rem = plane.reshape(*lead, h * w)[..., vh * vw :]
+    return core, rem
+
+
+def join_covered(core, rem, h, w, xp):
+    """Inverse of split_covered_data: rebuild the (.., h, w) plane from the
+    filtered core and the untouched flat remainder."""
+    lead = core.shape[:-2]
+    flat = core.reshape(*lead, core.shape[-2] * core.shape[-1])
+    if rem.shape[-1]:
+        flat = xp.concatenate([flat, rem], axis=-1)
+    return flat.reshape(*lead, h, w)
+
+
 def plane_to_tiles(plane):
     """(.., Hext, Wext) -> (.., 8, 8, By, Bx); T[.., r, c, by, bx] == plane[.., 8by+r, 8bx+c]."""
     b = SAMPLE_BLOCK_SIZE

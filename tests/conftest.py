@@ -15,6 +15,14 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
+# Persistent XLA compile cache: interpret-mode Pallas graphs take 20-50 s to
+# compile per geometry on CPU and dominate suite wall time; with the cache a
+# re-run pays only trace time (~3x faster suite).  Repo-local and gitignored.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 if "jax" in sys.modules:
     # something (e.g. a pytest plugin) imported jax before us and froze its
     # config from the old environment; update it directly

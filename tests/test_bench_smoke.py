@@ -3,6 +3,8 @@ bit-rotting between rounds.  Real numbers come from TPU runs."""
 
 import json
 
+import pytest
+
 
 def test_bench_stream_smoke():
     from bench.bench_lib import bench_stream
@@ -12,20 +14,27 @@ def test_bench_stream_smoke():
     json.dumps(r)  # serializable
 
 
-def test_headline_shape_contract():
-    """bench.py must emit the driver's expected keys."""
+def test_headline_shape_contract(monkeypatch):
+    """bench.py must emit the driver's expected keys (incl. the honesty kit:
+    sustained rate, link microbench, resident step)."""
     from bench import bench_lib
 
     # monkeypatch the geometry down so the contract test runs on CPU
-    orig = bench_lib.bench_1080p
-    bench_lib.bench_1080p = lambda **kw: bench_lib.bench_stream(
-        64, 48, backend="jnp", n_frames=4, repeats=1
-    )
-    try:
-        out = bench_lib.headline()
-    finally:
-        bench_lib.bench_1080p = orig
+    # (capture the originals first -- the lambdas must not recurse)
+    orig_soak, orig_link, orig_res = (
+        bench_lib.soak, bench_lib.link_h2d_microbench, bench_lib.bench_resident)
+    monkeypatch.setattr(bench_lib, "bench_1080p", lambda **kw: bench_lib.bench_stream(
+        64, 48, backend="jnp", n_frames=4, repeats=1))
+    monkeypatch.setattr(bench_lib, "soak", lambda **kw: orig_soak(n_frames=8, w=64, h=48))
+    monkeypatch.setattr(bench_lib, "link_h2d_microbench",
+                        lambda **kw: orig_link(mb=0.01, n=4, repeats=1))
+    monkeypatch.setattr(bench_lib, "bench_resident",
+                        lambda **kw: orig_res(w=64, h=48, iters=3))
+    out = bench_lib.headline()
     assert set(out) >= {"metric", "value", "unit", "vs_baseline"}
+    for key in ("sustained_mpix_s", "link_h2d_gbs", "resident_step_us",
+                "pipelined_mpix_s"):
+        assert key in out["details"], key
     line = json.dumps(out)
     assert line.startswith("{") and "\n" not in line
 
@@ -48,12 +57,26 @@ def test_soak_smoke():
     assert len(r["segment_s"]) == 4
 
 
+@pytest.mark.slow
 def test_autotune_smoke():
     """autotune runs (interpret mode on CPU) on a couple of block shapes."""
     import bench.bench_lib as bl
 
     r = bl.autotune_blocks(w=64, h=48, shapes=((8, 16), (4, 32)), iters=3)
     assert r["results_us"]
+
+
+@pytest.mark.slow
+def test_reference_cpu_bench_rows():
+    """bench_reference_cpu compiles the actual reference and returns timed
+    same-host rows (or a graceful error row when the checkout is absent)."""
+    from bench.bench_lib import bench_reference_cpu
+
+    rows = bench_reference_cpu(thread_counts=(1,), reps=1,
+                               geometries=((64, 48, "tiny"),))
+    assert rows
+    if "error" not in rows[0]:
+        assert rows[0]["filter_s"] > 0 and "compiled reference" in rows[0]["config"]
 
 
 def test_multistream_bench_mesh_branch():

@@ -76,7 +76,11 @@ def test_execute_tpu_parity(tmp_path, testdata_dir):
     inp = os.path.join(testdata_dir, "image1_352x288_yv12.yuv")
     out = str(tmp_path / "out.yuv")
     t = ExecuteTpu(inp, out, 352, 288, 35)
-    assert t["kernel_s"] > 0 and t["copy_s"] > 0
+    # total_s is a measured synchronous put->filter->get wall loop (not a sum
+    # of the separately-timed parts); all three brackets must be real positive
+    # measurements.  No ordering assertion: on CPU the single-reps sync loop
+    # and the best-of kernel loop see different scheduler noise.
+    assert t["kernel_s"] > 0 and t["h2d_s"] > 0 and t["total_s"] > 0
     gold = deblock_frame_golden(
         read_yv12(inp, 352, 288), BoundaryStrength.intra_default(352, 288), 35
     )

@@ -13,7 +13,12 @@ from gpu_video_codec_tpu.utils.yuv import FramePlanes, extend_plane
 GEOMETRIES = [(16, 16), (24, 40), (48, 64), (88, 72), (8, 64), (64, 8)]
 
 
-@pytest.mark.parametrize("case", range(8))
+# one case stays in the default suite as a canary; the full campaign (plus
+# the much larger tools/validate_vs_reference.py --fuzz sweeps) is -m slow
+@pytest.mark.parametrize(
+    "case",
+    [0] + [pytest.param(c, marks=pytest.mark.slow) for c in range(1, 8)],
+)
 def test_fuzz_cross_backend(case):
     rng = np.random.default_rng(1000 + case)
     w, h = GEOMETRIES[case % len(GEOMETRIES)]

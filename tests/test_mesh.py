@@ -75,10 +75,13 @@ def test_batch_not_divisible_raises(rng):
                                   32, 4)
 
 
-@pytest.mark.parametrize("n", [1, 2, 4, 8])
+@pytest.mark.parametrize("n", [1, 8, pytest.param(2, marks=pytest.mark.slow),
+                               pytest.param(4, marks=pytest.mark.slow)])
 def test_dryrun_multichip_various_counts(n, monkeypatch):
     """The driver may invoke dryrun_multichip with any virtual device count
-    <= available; it must work for every factorization."""
+    <= available; it must work for every factorization.  Default suite keeps
+    the degenerate (1) and driver (8) counts; intermediates are -m slow
+    (each mesh shape is a fresh 15 s trace+compile on this 1-core host)."""
     import importlib.util
     import os
 

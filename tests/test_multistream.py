@@ -30,6 +30,27 @@ def test_multistream_matches_golden(rng):
             ), (t, i)
 
 
+def test_multistream_overlap_depth(rng):
+    """depth > 1 keeps several sharded batches in flight; outputs must still
+    come back in batch order, bit-exact, incl. the drain tail when the
+    stream ends with batches still queued."""
+    w, h, qp = 64, 48, 35
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 2, w, h, qp, depth=3)
+    n_steps = 5  # > depth, so both the steady state and the tail drain run
+    streams = [[_raw(rng, w, h) for _ in range(n_steps)] for _ in range(2)]
+    bs = BoundaryStrength.intra_default(w, h)
+    steps = list(ms.run(streams))
+    assert len(steps) == n_steps
+    for t, outs in enumerate(steps):
+        for i, out in enumerate(outs):
+            gold = deblock_frame_golden(
+                planes_from_yv12_bytes(streams[i][t].tobytes(), w, h), bs, qp)
+            assert np.array_equal(
+                out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
+            ), (t, i)
+
+
 def test_multistream_validation(rng):
     mesh = make_mesh(2, 4)
     with pytest.raises(ValueError):

@@ -13,11 +13,14 @@ import pytest
 
 REF_DIR = "/root/reference/hevc_deblocking_filter"
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.exists(os.path.join(REF_DIR, "hevc_deblocking_filter_cpu.h"))
-         and shutil.which("g++")),
-    reason="reference checkout or g++ unavailable",
-)
+pytestmark = [
+    pytest.mark.slow,  # compiles + runs the reference binary: minutes
+    pytest.mark.skipif(
+        not (os.path.exists(os.path.join(REF_DIR, "hevc_deblocking_filter_cpu.h"))
+             and shutil.which("g++")),
+        reason="reference checkout or g++ unavailable",
+    ),
+]
 
 
 def test_golden_matches_compiled_reference(tmp_path):

@@ -1,0 +1,104 @@
+"""Device-resident (layout-persistent) streaming: bit-exactness of the
+ingest -> step -> readback path vs the standard pipeline, including chained
+steps (tiles never leaving the canonical layout) and Q9 geometries."""
+
+import numpy as np
+import pytest
+
+from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+from gpu_video_codec_tpu.models.resident import ResidentDeblocker
+from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+from gpu_video_codec_tpu.utils.yuv import (
+    planes_from_yv12_bytes, yv12_bytes_from_planes,
+)
+
+
+def _raw(rng, w, h):
+    return rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+
+
+def _golden_packed(raw, w, h, qp, bs=None):
+    frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+    bs = bs or BoundaryStrength.intra_default(w, h)
+    out = deblock_frame_golden(frame, bs, qp)
+    return np.frombuffer(yv12_bytes_from_planes(out), np.uint8)
+
+
+# default suite: one regular + one Q9-sheared geometry; the rest are -m slow
+# (each distinct geometry costs a full interpret-mode Pallas compile on CPU)
+@pytest.mark.parametrize("w,h", [
+    (64, 48), (40, 24),
+    pytest.param(352, 288, marks=pytest.mark.slow),
+    pytest.param(56, 72, marks=pytest.mark.slow),
+])
+def test_resident_matches_golden(rng, w, h):
+    """One-shot resident path == golden oracle, incl. w % 16 == 8 geometries
+    (40, 56) where the chroma sweep shears the flat view (quirk Q9)."""
+    raw = _raw(rng, w, h)
+    rd = ResidentDeblocker(w, h, qp=35)
+    assert np.array_equal(rd(raw), _golden_packed(raw, w, h, 35))
+
+
+def test_resident_chained_steps(rng):
+    """N chained kernel-only steps on resident state == N golden passes over
+    the EXTENDED planes.  (Not N full YV12 round trips: re-ingesting re-zeroes
+    the extended padding (Q6), whereas resident state legitimately keeps the
+    padding pixels that border tiles wrote -- the defined semantics for
+    device-resident chaining, where only real frame boundaries re-enter
+    through ingest.)"""
+    w, h, qp = 64, 48, 35
+    raw = _raw(rng, w, h)
+    rd = ResidentDeblocker(w, h, qp)
+    bs = BoundaryStrength.intra_default(w, h)
+
+    state = rd.ingest(raw)
+    for _ in range(3):
+        state = rd.step(state)
+    resident_out = rd.readback(state)
+
+    frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+    for _ in range(3):
+        frame = deblock_frame_golden(frame, bs, qp)
+    ref = np.frombuffer(yv12_bytes_from_planes(frame), np.uint8)
+    assert np.array_equal(resident_out, ref)
+
+
+def test_resident_luma_only(rng):
+    w, h, qp = 64, 48, 35
+    raw = _raw(rng, w, h)
+    rd = ResidentDeblocker(w, h, qp, luma_only=True)
+    out = rd(raw)
+    frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+    gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h),
+                                qp, luma_only=True)
+    assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+def test_resident_injected_bs(rng):
+    """Custom BS arrays flow through the padded segment maps unchanged."""
+    w, h, qp = 64, 48, 35
+    raw = _raw(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+                rng.integers(0, 3, bs.hor.size, dtype=np.uint8))
+    bs.set_chroma(rng.integers(0, 3, bs.chroma_vert.size, dtype=np.uint8),
+                  rng.integers(0, 3, bs.chroma_hor.size, dtype=np.uint8))
+    rd = ResidentDeblocker(w, h, qp, bs=bs)
+    assert np.array_equal(rd(raw), _golden_packed(raw, w, h, qp, bs=bs))
+
+
+def test_resident_ingest_device_buffer(rng):
+    """ingest() accepts an already-device-resident packed buffer."""
+    import jax
+
+    w, h = 64, 48
+    raw = _raw(rng, w, h)
+    rd = ResidentDeblocker(w, h, qp=35)
+    dev = jax.device_put(raw)
+    assert np.array_equal(rd.readback(rd.step(rd.ingest(dev))), rd(raw))
+
+
+def test_resident_rejects_bad_size(rng):
+    rd = ResidentDeblocker(64, 48, qp=35)
+    with pytest.raises(ValueError):
+        rd.ingest(np.zeros(10, np.uint8))
