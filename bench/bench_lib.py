@@ -75,6 +75,7 @@ def bench_stream(w: int, h: int, backend: str = "pallas", n_frames: int = 50,
     return {
         "config": label or f"{w}x{h} YV12 luma+chroma, backend={backend}",
         "kernel_us": tb["kernel_s"] * 1e6,
+        "dispatch_us": tb["dispatch_s"] * 1e6,
         "h2d_us": tb["h2d_s"] * 1e6,
         "kernel_mpix_s": luma_px / tb["kernel_s"] / 1e6,
         "pipelined_mpix_s": pipelined["mpix_per_s"],
@@ -439,6 +440,7 @@ def bench_resident(w: int = 1920, h: int = 1080, qp: int = 35,
     return {
         "config": f"{w}x{h} device-resident tile-planes step (kernels only)",
         "step_us": round(r["step_us"], 2),
+        "dispatch_us": round(r["dispatch_us"], 2),
         "mpix_s": round(r["mpix_s"], 1),
     }
 

@@ -63,6 +63,47 @@ def test_resident_chained_steps(rng):
     assert np.array_equal(resident_out, ref)
 
 
+def test_resident_run_steps_matches_step_loop(rng):
+    """run_steps(tf, n) (n chained steps in ONE dispatch, the device-time
+    measurement primitive) is bit-identical to n individual step() calls."""
+    w, h, qp = 64, 48, 35
+    raw = _raw(rng, w, h)
+    rd = ResidentDeblocker(w, h, qp)
+
+    state = rd.ingest(raw)
+    chained = rd.run_steps(state, 3)
+
+    looped = state
+    for _ in range(3):
+        looped = rd.step(looped)
+    assert np.array_equal(rd.readback(chained), rd.readback(looped))
+
+
+def test_streaming_packed_chain_matches_step_loop(rng):
+    """_deblock_yv12_packed_n (the packed graph's one-dispatch n-step chain)
+    == n individual packed steps."""
+    import jax
+
+    from gpu_video_codec_tpu.models.streaming import (
+        StreamingDeblocker, _deblock_yv12_packed_n,
+    )
+
+    w, h = 64, 48
+    raw = _raw(rng, w, h)
+    s = StreamingDeblocker(w, h, qp=35, backend="jnp")
+    dev = s._put(raw)
+
+    chained = _deblock_yv12_packed_n(
+        dev, s._lm, s._cm, s._beta, s._tc, n=3, w=w, h=h,
+        luma_only=False, backend="jnp",
+    )
+
+    looped = dev
+    for _ in range(3):
+        looped = s._step(looped)
+    assert np.array_equal(jax.device_get(chained), jax.device_get(looped))
+
+
 def test_resident_luma_only(rng):
     w, h, qp = 64, 48, 35
     raw = _raw(rng, w, h)

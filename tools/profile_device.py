@@ -1,0 +1,194 @@
+"""Device-op profiler: captures a jax.profiler trace of the deblock graphs
+and reports per-op DEVICE time (what the hardware actually executed), not
+host wall time.
+
+Why this exists: in this dev environment the TPU is reached over a network
+tunnel whose per-dispatch RTT and flush behavior flooring/ inflating every
+host-side wall measurement (CLAUDE.md "timing artifacts").  Device-side
+trace events are recorded by the TPU runtime itself and are immune to all
+of that -- they are the TPU analogue of the reference's CUDA-event
+'without copy' bracket (gpu.cu:1264-1294).
+
+Usage:
+    python -m tools.profile_device [--geometry WxH] [--steps N] [--out DIR]
+
+Reports, for one N-step window of each pipeline:
+  resident   : ResidentDeblocker.run_steps (kernels only, tile-planes state)
+  packed     : N chained packed-YV12 steps (unpack -> kernels -> repack)
+with per-op-category device-time breakdowns (fused deblock kernels vs XLA
+copy/transpose/relayout passes vs everything else), so the layout-overhead
+claim in docs/PERF.md is backed by measured device numbers.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_trace_events(trace_dir: str) -> list[dict]:
+    """Read every Chrome-trace event from a jax.profiler trace directory."""
+    pats = os.path.join(trace_dir, "**", "*.trace.json.gz")
+    events: list[dict] = []
+    for path in glob.glob(pats, recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        events.extend(data.get("traceEvents", []))
+    return events
+
+
+def device_op_durations(trace_dir: str) -> dict[str, float]:
+    """Sum device-lane LEAF complete-event ('ph' == 'X') durations (us) by op.
+
+    Device lanes are identified by their process name metadata: the TPU
+    runtime emits tracks named like '/device:TPU:0' / 'TPU:0' (the CPU
+    backend similarly); host threads are named 'python'/'pthread' etc. and
+    are excluded.  Container events (a 'jit_*' module scope, XLA 'while'/
+    'condition'/'body' control scopes) enclose their children on the same
+    track, so summing every event double-counts; leaf-only = events that
+    contain no other event on their track.
+    """
+    events = _load_trace_events(trace_dir)
+    pid_names: dict[int, str] = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+    device_pids = {
+        pid for pid, name in pid_names.items()
+        if "TPU" in name or "/device:" in name.lower() or "GPU" in name
+    }
+    # control/module scopes are not hardware ops; they also live on separate
+    # trace tracks ("XLA Modules") where per-track nesting can't catch them
+    _SCOPES = ("jit_", "jit__", "while", "condition", "body", "cond_")
+    by_track: dict[tuple, list[dict]] = defaultdict(list)
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in device_pids
+                and not str(e.get("name", "")).startswith(_SCOPES)):
+            by_track[(e["pid"], e.get("tid", 0))].append(e)
+    totals: dict[str, float] = defaultdict(float)
+    for track in by_track.values():
+        track.sort(key=lambda e: (float(e["ts"]), -float(e.get("dur", 0.0))))
+        stack: list[tuple[float, dict]] = []  # (end_ts, event) of open spans
+        has_child: dict[int, bool] = {}
+        for e in track:
+            ts = float(e["ts"])
+            while stack and stack[-1][0] <= ts:
+                end, parent = stack.pop()
+                if not has_child.pop(id(parent), False):
+                    totals[parent.get("name", "?")] += float(parent.get("dur", 0.0))
+            if stack:
+                has_child[id(stack[-1][1])] = True
+            stack.append((ts + float(e.get("dur", 0.0)), e))
+            has_child[id(e)] = False
+        while stack:
+            end, parent = stack.pop()
+            if not has_child.pop(id(parent), False):
+                totals[parent.get("name", "?")] += float(parent.get("dur", 0.0))
+    return dict(totals)
+
+
+def categorize(totals: dict[str, float]) -> dict[str, float]:
+    """Bucket op names into deblock-kernel vs layout/copy vs loop/other."""
+    cats: dict[str, float] = defaultdict(float)
+    for name, us in totals.items():
+        n = name.lower()
+        if n.startswith(("jit_", "while", "condition", "body", "cond_")):
+            cats["scopes_should_be_empty"] += us
+        elif "deblock" in n or "custom-call" in n or "mosaic" in n:
+            cats["deblock_kernels"] += us
+        elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape",
+                                  "concatenate", "pad", "slice", "fusion")):
+            cats["layout_and_copies"] += us
+        else:
+            cats["other"] += us
+    cats["total"] = sum(v for k, v in cats.items() if k != "total")
+    return dict(cats)
+
+
+def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
+                      steps: int = 20, out_dir: str | None = None,
+                      mode: str = "stream") -> dict:
+    """Profile the deblock pipelines and report measured device time.
+
+    mode="stream": `steps` INDEPENDENT step dispatches over distinct device
+    buffers -- the actual streaming workload (frames are independent), where
+    launches pipeline back-to-back.  Per-step device time = total device busy
+    time / steps (one TensorCore runs one program at a time, so busy time is
+    additive even with overlapped dispatch).
+    mode="chain": `steps` dependent steps in one fori_loop dispatch (the
+    latency view; includes the loop's carry copies).
+    """
+    import jax
+
+    from bench.bench_lib import packed_yv12, synthetic_frame
+    from gpu_video_codec_tpu.models.resident import ResidentDeblocker
+    from gpu_video_codec_tpu.models.streaming import (
+        StreamingDeblocker, _deblock_yv12_packed_n,
+    )
+
+    rd = ResidentDeblocker(w, h, qp)
+    sd = StreamingDeblocker(w, h, qp)
+    k = min(4, steps)  # distinct buffers to defeat any same-args caching
+    raws = [packed_yv12(synthetic_frame(w, h, seed=s)) for s in range(k)]
+    tfs = [rd.ingest(r) for r in raws]
+    devs = [sd._put(r) for r in raws]
+
+    if mode == "chain":
+        def run_resident():
+            return [rd.run_steps(tfs[0], steps)]
+
+        def run_packed():
+            return [_deblock_yv12_packed_n(
+                devs[0], sd._lm, sd._cm, sd._beta, sd._tc, n=steps, w=w, h=h,
+                luma_only=False, backend="pallas",
+                luma_block=sd._luma_block, chroma_block=sd._chroma_block)]
+    else:
+        def run_resident():
+            return [rd.step(tfs[i % k]) for i in range(steps)]
+
+        def run_packed():
+            return [sd._step(devs[i % k]) for i in range(steps)]
+
+    # compile everything OUTSIDE the trace windows
+    jax.block_until_ready(run_resident())
+    jax.block_until_ready(run_packed())
+
+    base = out_dir or tempfile.mkdtemp(prefix="gvct_prof_")
+    report: dict = {"geometry": f"{w}x{h}", "steps": steps, "mode": mode,
+                    "trace_dir": base}
+    luma_px = w * h
+    for label, fn in (("resident", run_resident), ("packed", run_packed)):
+        d = os.path.join(base, label)
+        with jax.profiler.trace(d):
+            jax.block_until_ready(fn())
+        totals = device_op_durations(d)
+        cats = categorize(totals)
+        top = sorted(totals.items(), key=lambda kv: -kv[1])[:12]
+        per_step_us = cats["total"] / steps
+        report[label] = {
+            "device_us_per_step": {k2: round(v / steps, 2) for k2, v in cats.items()},
+            "device_mpix_s": round(luma_px / per_step_us, 1) if per_step_us else None,
+            "top_ops_us_total": {k2: round(v, 1) for k2, v in top},
+        }
+    return report
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geometry", default="1920x1080")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--mode", choices=("stream", "chain"), default="stream")
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    gw, gh = (int(x) for x in a.geometry.split("x"))
+    print(json.dumps(profile_pipelines(gw, gh, steps=a.steps, out_dir=a.out,
+                                       mode=a.mode), indent=2))
