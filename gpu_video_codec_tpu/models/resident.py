@@ -44,9 +44,11 @@ from ..ops.tables import HALF_BLOCK, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
 from ..utils.tiles import (
     SAMPLE_BLOCK_SIZE as _B,
+    interior_to_tiles,
     join_covered,
     plane_to_tiles,
     split_covered_data,
+    tiles_to_interior,
     tiles_to_plane,
 )
 from ..utils.yuv import check_dims
@@ -76,16 +78,23 @@ def _effective_block(block: tuple[int, int], by: int, bx: int) -> tuple[int, int
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "lb", "cb"))
-def _ingest(buf, w, h, lb, cb):
-    """Packed YV12 uint8 (3wh/2,) -> TileFrame, one relayout pass."""
+def _ingest(buf, w, h, lb, cb, yperm=None):
+    """Packed YV12 uint8 (3wh/2,) -> TileFrame, one relayout pass.
+
+    Luma goes interior -> grid-padded tile-planes directly (the Q6 zero
+    padding AND the Pallas grid padding fold into the relayout matmul,
+    utils.tiles.interior_to_tiles); chroma keeps explicit extended planes
+    because the Q9 flat view is defined on the padded buffer."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
-    y = jnp.pad(buf[: w * h].reshape(h, w), p)  # defined-zero padding (Q6)
     u = jnp.pad(buf[w * h : w * h + cw * ch].reshape(ch, cw), p)
     v = jnp.pad(buf[w * h + cw * ch :].reshape(ch, cw), p)
 
-    yt = plane_to_tiles(y)
-    yt = _pad_to(yt, *_effective_block(lb, yt.shape[-2], yt.shape[-1]))
+    by, bx = (h + 2 * p) // _B, (w + 2 * p) // _B
+    eby, ebx = _effective_block(lb, by, bx)
+    yt = interior_to_tiles(buf[: w * h].reshape(h, w), p, perm=yperm,
+                           by_grid=-(-by // eby) * eby,
+                           bx_grid=-(-bx // ebx) * ebx)
 
     u_core, u_rem = split_covered_data(u)
     v_core, v_rem = split_covered_data(v)
@@ -95,23 +104,21 @@ def _ingest(buf, w, h, lb, cb):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h"))
-def _readback(tf: TileFrame, w, h):
+def _readback(tf: TileFrame, w, h, yperm=None):
     """TileFrame -> filtered packed YV12 uint8, one relayout pass."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
-    hext, wext = h + 2 * p, w + 2 * p
     chext, cwext = ch + 2 * p, cw + 2 * p
-    by, bx = hext // _B, wext // _B
     # covered chroma grid dims (truncating division, Q9 / cpu.h:450-451)
     cby, cbx = chext // _B, cwext // _B
 
-    y = tiles_to_plane(tf.y[..., :by, :bx])
+    y_int = tiles_to_interior(tf.y, p, h, w, perm=yperm)
     u_core = tiles_to_plane(tf.uv[..., :cby, :cbx])
     v_core = tiles_to_plane(tf.uv[..., cby : 2 * cby, :cbx])
     u = join_covered(u_core, tf.u_rem, chext, cwext, jnp)
     v = join_covered(v_core, tf.v_rem, chext, cwext, jnp)
     return jnp.concatenate([
-        y[p : p + h, p : p + w].ravel(),
+        y_int.ravel(),
         u[p : p + ch, p : p + cw].ravel(),
         v[p : p + ch, p : p + cw].ravel(),
     ])
@@ -182,6 +189,12 @@ class ResidentDeblocker:
         self._lb = _effective_block(tuple(luma_block), by, bx)
         self._cb = _effective_block(tuple(chroma_block), 2 * cby, cbx)
 
+        from ..utils.tiles import tile_perm_device
+
+        bxg = -(-bx // self._lb[1]) * self._lb[1]
+        self._yperm_f = tile_perm_device(width, p, False, bxg)
+        self._yperm_i = tile_perm_device(width, p, True, bxg)
+
         bs = bs or BoundaryStrength.intra_default(width, height)
         lm = luma_segment_maps(bs)
         cm = chroma_segment_maps(bs)
@@ -205,7 +218,8 @@ class ResidentDeblocker:
             if arr.size != self.frame_bytes:
                 raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
             buf = jax.device_put(arr)
-        return _ingest(buf, self.width, self.height, self._lb, self._cb)
+        return _ingest(buf, self.width, self.height, self._lb, self._cb,
+                       self._yperm_f)
 
     def step(self, tf: TileFrame) -> TileFrame:
         """Kernel-only deblock of a resident frame (the steady state)."""
@@ -220,7 +234,8 @@ class ResidentDeblocker:
 
     def readback(self, tf: TileFrame) -> np.ndarray:
         """Device TileFrame -> filtered packed YV12 on the host."""
-        return jax.device_get(_readback(tf, self.width, self.height))
+        return jax.device_get(_readback(tf, self.width, self.height,
+                                        self._yperm_i))
 
     def __call__(self, frame) -> np.ndarray:
         return self.readback(self.step(self.ingest(frame)))
@@ -230,24 +245,32 @@ class ResidentDeblocker:
     def step_time(self, frame, iters: int = 100, repeats: int = 3) -> dict:
         """Steady-state resident step latency, two ways:
 
-        step_s/step_us/mpix_s -- DEVICE time per step: `iters` chained steps
-        in one dispatch (run_steps), wall / iters.  Dispatch overhead is
-        amortized to nothing, so this is the true on-device kernel cost (the
-        reference's 'without copy' definition, gpu.cu:1264-1294).
+        step_s/step_us/mpix_s -- DEVICE time per step, profiler-trace
+        measured (the reference's 'without copy' definition done right,
+        gpu.cu:1264-1294: device execution, not host dispatch).  Falls back
+        to the chained-wall estimate (run_steps / iters) on backends with
+        no device trace lanes.
 
         dispatch_us -- wall time per individually-dispatched chained step;
         on a network-attached device this is floored by per-call RTT and can
         exceed the device time many-fold (CLAUDE.md)."""
+        from ..utils.tracing import profiled_device_us
+
         tf = self.step(self.ingest(frame))
         jax.block_until_ready(tf.y)
-        t = self.run_steps(tf, iters)  # compile the n-step chain
-        jax.block_until_ready(t.y)
-        device_best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            t = self.run_steps(tf, iters)
+        prof = profiled_device_us(lambda: self.step(tf), iters=min(iters, 30))
+        if prof is not None:
+            device_best = prof[0] / 1e6
+        else:
+            n = min(iters, 20)
+            t = self.run_steps(tf, n)  # compile the n-step chain
             jax.block_until_ready(t.y)
-            device_best = min(device_best, (time.perf_counter() - t0) / iters)
+            device_best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                t = self.run_steps(tf, n)
+                jax.block_until_ready(t.y)
+                device_best = min(device_best, (time.perf_counter() - t0) / n)
         dispatch_best = float("inf")
         for _ in range(repeats):
             t = tf

@@ -31,29 +31,69 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_kernel import deblock_frame_pallas
 from ..ops.deblock import deblock_frame
 from ..ops.tables import HALF_BLOCK, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, segment_bs_maps_device
 from ..utils.yuv import FramePlanes, check_dims
 
 
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def luma_grid_shape(width: int, height: int,
+                    luma_block: tuple[int, int]) -> tuple[int, int]:
+    """The padded luma tile-grid the Pallas kernel will sweep: tile counts
+    rounded up to the effective block shape (deblock_tiles_pallas's adaptive
+    clamp mirrored here so layout and kernel agree exactly)."""
+    by, bx = (height + 2 * HALF_BLOCK) // 8, (width + 2 * HALF_BLOCK) // 8
+    eby = min(luma_block[0], _ceil_to(by, 8))
+    ebx = min(luma_block[1], _ceil_to(bx, 8))
+    return _ceil_to(by, eby), _ceil_to(bx, ebx)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "h", "luma_only", "backend",
-                                              "luma_block", "chroma_block"))
+                                              "luma_block", "chroma_block",
+                                              "luma_grid"))
 def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
-                         luma_block=(8, 128), chroma_block=(8, 128)):
-    """Device-side: packed YV12 uint8 (3wh/2,) -> filtered packed YV12."""
+                         luma_block=(8, 128), chroma_block=(8, 128),
+                         yperms=None, luma_grid=None):
+    """Device-side: packed YV12 uint8 (3wh/2,) -> filtered packed YV12.
+
+    On the pallas path the luma plane goes interior -> tile-planes ->
+    interior directly (utils.tiles.interior_to_tiles/tiles_to_interior):
+    the Q6 zero padding, the Pallas grid padding AND the interior write-back
+    slice all fold into the relayout matmuls, skipping several full-plane
+    materialization passes.  yperms carries the two one-hot relayout
+    operands as arguments so XLA doesn't regenerate the multi-MB matrices on
+    device each step.  Chroma keeps explicit extended planes -- the Q9 flat
+    view is defined on the padded buffer."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     y = buf[: w * h].reshape(h, w)
     u = buf[w * h : w * h + cw * ch].reshape(ch, cw)
     v = buf[w * h + cw * ch :].reshape(ch, cw)
-    y, u, v = (jnp.pad(t, p) for t in (y, u, v))  # extended planes, zero pad
     if backend == "pallas":
-        ye, ue, ve = deblock_frame_pallas(y, u, v, lm, cm, beta, tc, luma_only=luma_only,
-                                          luma_block=luma_block, chroma_block=chroma_block)
-    else:
-        ye, ue, ve = deblock_frame(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
+        from ..ops.pallas_kernel import deblock_chroma_ext_pallas, deblock_tiles_pallas
+        from ..utils.tiles import interior_to_tiles, tiles_to_interior
+
+        byg, bxg = luma_grid or luma_grid_shape(w, h, luma_block)
+        fwd, inv = yperms if yperms is not None else (None, None)
+        yt = interior_to_tiles(y, p, perm=fwd, by_grid=byg, bx_grid=bxg)
+        y_out = deblock_tiles_pallas(yt, *lm, beta, tc, chroma=False,
+                                     block_by=luma_block[0], block_bx=luma_block[1])
+        y_flat = tiles_to_interior(y_out, p, h, w, perm=inv).ravel()
+        if luma_only:
+            return jnp.concatenate([y_flat, u.ravel(), v.ravel()])
+        ue, ve = deblock_chroma_ext_pallas(jnp.pad(u, p), jnp.pad(v, p),
+                                           cm, beta, tc, chroma_block=chroma_block)
+        return jnp.concatenate([
+            y_flat,
+            ue[p : p + ch, p : p + cw].ravel(),
+            ve[p : p + ch, p : p + cw].ravel(),
+        ])
+    y, u, v = (jnp.pad(t, p) for t in (y, u, v))  # extended planes, zero pad
+    ye, ue, ve = deblock_frame(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
     return jnp.concatenate([
         ye[p : p + h, p : p + w].ravel(),
         ue[p : p + ch, p : p + cw].ravel(),
@@ -62,9 +102,11 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "h", "luma_only", "backend",
-                                              "luma_block", "chroma_block"))
+                                              "luma_block", "chroma_block",
+                                              "luma_grid"))
 def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
-                           luma_block=(8, 128), chroma_block=(8, 128)):
+                           luma_block=(8, 128), chroma_block=(8, 128),
+                           yperms=None, luma_grid=None):
     """n chained packed-YV12 deblock steps in ONE dispatch (lax.fori_loop):
     the device-time measurement primitive.  Over a network-attached device a
     wall/N loop of individual dispatches is floored by per-call RTT
@@ -76,7 +118,8 @@ def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
     return jax.lax.fori_loop(
         0, n,
         lambda _, b: _deblock_yv12_packed(b, lm, cm, beta, tc, w, h, luma_only,
-                                          backend, luma_block, chroma_block),
+                                          backend, luma_block, chroma_block,
+                                          yperms, luma_grid),
         buf,
     )
 
@@ -106,6 +149,15 @@ class StreamingDeblocker:
         self._backend = backend
         self._luma_block = tuple(luma_block)
         self._chroma_block = tuple(chroma_block)
+        self._luma_grid = luma_grid_shape(width, height, self._luma_block)
+        if backend == "pallas":
+            from ..utils.tiles import tile_perm_device
+
+            bxg = self._luma_grid[1]
+            self._yperms = (tile_perm_device(width, HALF_BLOCK, False, bxg),
+                            tile_perm_device(width, HALF_BLOCK, True, bxg))
+        else:
+            self._yperms = None
         self.update_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
 
     def update_boundary_strength(self, bs: BoundaryStrength) -> None:
@@ -130,6 +182,17 @@ class StreamingDeblocker:
             w=self.width, h=self.height,
             luma_only=self._luma_only, backend=self._backend,
             luma_block=self._luma_block, chroma_block=self._chroma_block,
+            yperms=self._yperms, luma_grid=self._luma_grid,
+        )
+
+    def _chain(self, dev_buf, n: int):
+        """n chained packed steps in one dispatch (see _deblock_yv12_packed_n)."""
+        return _deblock_yv12_packed_n(
+            dev_buf, self._lm, self._cm, self._beta, self._tc,
+            n=n, w=self.width, h=self.height,
+            luma_only=self._luma_only, backend=self._backend,
+            luma_block=self._luma_block, chroma_block=self._chroma_block,
+            yperms=self._yperms, luma_grid=self._luma_grid,
         )
 
     def _host_frame(self, frame) -> np.ndarray:
@@ -185,7 +248,10 @@ class StreamingDeblocker:
                 last = None
                 for _ in range(n_frames):
                     last = self._step(self._put(arr))
-                jax.block_until_ready(last)
+                # force completion with a real 1-byte read: block_until_ready
+                # alone can return before device work completes on the
+                # network-attached dev tunnel (docs/PERF.md methodology)
+                jax.device_get(last[:1])
             return time.perf_counter() - t0
 
         # best of `repeats` short batches: robust against the shared-tunnel
@@ -204,12 +270,20 @@ class StreamingDeblocker:
         """Per-frame latency split: H2D copy vs kernel (the reference's
         'with copy'/'without copy' table, gpu.cu:1292-1303).
 
+        kernel_s is DEVICE time (profiler-trace measured, the analogue of
+        the reference's CUDA-event bracket around the kernel launches) when
+        the backend emits device traces; otherwise a chained wall
+        measurement.  dispatch_s is host wall per individually-dispatched
+        step -- on a network-attached device it mostly measures RTT.
+
         measure_d2h adds a synchronous end-to-end (put -> filter -> get)
         measurement.  Off by default: the development environment's TPU
         tunnel has highly variable device->host bandwidth (observed from
         30 MB/s down to ~10 KB/s) that says nothing about the pipeline; on
         directly-attached hardware it is a fair number to report.
         """
+        from ..utils.tracing import profiled_device_us
+
         arr = self._host_frame(frame)
         dev = self._put(arr)
         out = self._step(dev)
@@ -230,24 +304,24 @@ class StreamingDeblocker:
         h2d = best_of(lambda: self._put(arr))
         dispatch = best_of(lambda: self._step(dev))
 
-        # device time: n chained steps in one dispatch (see _deblock_yv12_packed_n)
-        def chain():
-            out = _deblock_yv12_packed_n(
-                dev, self._lm, self._cm, self._beta, self._tc,
-                n=n, w=self.width, h=self.height,
-                luma_only=self._luma_only, backend=self._backend,
-                luma_block=self._luma_block, chroma_block=self._chroma_block,
-            )
-            jax.block_until_ready(out)
-
-        chain()  # compile
-        kernel = float("inf")
-        for _ in range(3):
+        prof = profiled_device_us(lambda: self._step(dev), iters=n)
+        if prof is not None:
+            kernel = prof[0] / 1e6
+        else:
+            # no device trace lanes (CPU): chained wall is honest there
+            jax.block_until_ready(self._chain(dev, min(n, 4)))
             t0 = time.perf_counter()
-            chain()
-            kernel = min(kernel, (time.perf_counter() - t0) / n)
+            jax.block_until_ready(self._chain(dev, min(n, 4)))
+            kernel = (time.perf_counter() - t0) / min(n, 4)
 
         res = {"h2d_s": h2d, "kernel_s": kernel, "dispatch_s": dispatch}
+        if prof is not None:
+            cats = prof[1]
+            res["device_split_us"] = {
+                "deblock_kernels": round(cats.get("deblock_kernels", 0.0), 2),
+                "layout_and_copies": round(cats.get("layout_and_copies", 0.0), 2),
+                "other": round(cats.get("other", 0.0), 2),
+            }
         if measure_d2h:
             reps = max(1, n // 10)
             t0 = time.perf_counter()

@@ -161,10 +161,20 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     y_plane = tiles_to_plane(y_out)
     if luma_only:
         return y_plane, u_ext, v_ext
+    u_plane, v_plane = deblock_chroma_ext_pallas(
+        u_ext, v_ext, chroma_maps, beta, tc,
+        interpret=interpret, dtype=dtype, chroma_block=chroma_block)
+    return y_plane, u_plane, v_plane
 
-    # chroma sweeps the reference's flat (8*ncby, 8*ncbx) view (quirk Q9:
-    # sheared when the extended width isn't 8-aligned; the flat remainder,
-    # possibly containing real bottom rows, is untouched)
+
+def deblock_chroma_ext_pallas(u_ext, v_ext, chroma_maps, beta, tc,
+                              interpret=None, dtype=jnp.int32,
+                              chroma_block=(BLOCK_BY, BLOCK_BX)):
+    """Chroma-only deblock of extended U/V planes (one fused launch).
+
+    Chroma sweeps the reference's flat (8*ncby, 8*ncbx) view (quirk Q9:
+    sheared when the extended width isn't 8-aligned; the flat remainder,
+    possibly containing real bottom rows, is untouched)."""
     u_core, u_paste = split_covered(u_ext)
     v_core, v_paste = split_covered(v_ext)
     ut = plane_to_tiles(u_core)
@@ -177,7 +187,7 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
     cby = ut.shape[2]
     u_plane = u_paste(tiles_to_plane(uv_out[:, :, :cby]), jnp)
     v_plane = v_paste(tiles_to_plane(uv_out[:, :, cby:]), jnp)
-    return y_plane, u_plane, v_plane
+    return u_plane, v_plane
 
 
 @functools.partial(jax.jit, static_argnames=("luma_only", "dtype"))

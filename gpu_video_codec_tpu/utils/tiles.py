@@ -15,6 +15,9 @@ Works on numpy and jax.numpy arrays alike (pure reshape/transpose).
 
 from __future__ import annotations
 
+import functools
+import os
+
 from ..ops.tables import SAMPLE_BLOCK_SIZE
 
 
@@ -80,12 +83,228 @@ def join_covered(core, rem, h, w, xp):
     return flat.reshape(*lead, h, w)
 
 
+# ---------------------------------------------------------------------------
+# Relayout engines.
+#
+# "transpose": reshape + jnp/np transpose.  Works everywhere, but on TPU the
+# byte-granularity minor-dim shuffle lowers to an XLA copy running at
+# ~17 GB/s effective (~470 us for a 1080p luma plane -- device-trace
+# measured, tools/relayout_exp.py).
+#
+# "mxu": express the intra-row de-interleave (the minor-dim change, the only
+# hard part) as ONE one-hot matmul in bfloat16 -- uint8 pixel values (<= 255)
+# are exact in bf16 and the one-hot contraction selects exactly one input
+# per output, so the result is bit-exact by construction.  The residual
+# row-block reorder keeps the minor dim contiguous and costs a cheap chunked
+# copy.  Device-trace measured at 1080p luma: 116 us forward / 133 us
+# inverse, ~4-5x over "transpose", with the dot running near MXU peak.
+# (Race of all candidate formulations: tools/relayout_exp.py.)
+#
+# "auto" (default): mxu for uint8 jax arrays when jax is executing on TPU;
+# transpose otherwise (numpy hosts, CPU test meshes).  GVCT_RELAYOUT
+# overrides for experiments.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_np(w: int, inverse: bool):
+    """One-hot (w, w) permutation: col j = (tile t=j//8, in-tile c=j%8) maps
+    to de-interleaved col c*(w//8) + t (forward); transposed for inverse."""
+    import numpy as np
+
+    b = SAMPLE_BLOCK_SIZE
+    bx = w // b
+    j = np.arange(w)
+    p = np.zeros((w, w), np.float32)
+    if inverse:
+        p[(j % b) * bx + j // b, j] = 1.0
+    else:
+        p[j, (j % b) * bx + j // b] = 1.0
+    return p
+
+
+def _mxu_eligible(x) -> bool:
+    mode = os.environ.get("GVCT_RELAYOUT", "auto")
+    if mode == "transpose":
+        return False
+    import numpy as np
+
+    if isinstance(x, np.ndarray) or str(x.dtype) != "uint8":
+        return False
+    if mode == "mxu":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _plane_to_tiles_mxu(plane):
+    import jax
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    *lead, h, w = plane.shape
+    n = len(lead)
+    by, bx = h // b, w // b
+    p = jnp.asarray(_perm_np(w, inverse=False), jnp.bfloat16)
+    o = jax.lax.dot_general(
+        plane.astype(jnp.bfloat16), p,
+        (((n + 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (.., Hext, [c, t])
+    o = o.reshape(*lead, by, b, b, bx)
+    # (.., By, r, c, Bx) -> (.., r, c, By, Bx): minor dim Bx unchanged
+    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
+
+
+def _tiles_to_plane_mxu(tiles):
+    import jax
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    *lead, r, c, by, bx = tiles.shape
+    n = len(lead)
+    w = bx * b
+    p = jnp.asarray(_perm_np(w, inverse=True), jnp.bfloat16)
+    # (.., r, c, By, Bx) -> (.., By, r, [c, Bx]) rows: minor dim Bx unchanged
+    o = tiles.transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
+    o = o.reshape(*lead, by * b, b * bx)
+    o = jax.lax.dot_general(
+        o.astype(jnp.bfloat16), p,
+        (((n + 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_np_interior(w: int, pad: int, inverse: bool, bx_grid: int | None = None):
+    """Rectangular one-hot: interior col j <-> de-interleaved extended col
+    (c, t) of global col j+pad.  Forward (w, 8*bx_grid): extended padding
+    columns (and Pallas grid-tail tile columns when bx_grid > Bx) have no 1
+    anywhere -> they come out zero, i.e. the Q6 zero padding AND the kernel
+    block padding are FREE (folded into the relayout dot).  Inverse
+    (8*bx_grid, w): those columns are simply never selected, folding the
+    interior slice."""
+    import numpy as np
+
+    b = SAMPLE_BLOCK_SIZE
+    wext = w + 2 * pad
+    if wext % b:
+        raise ValueError(f"extended width {wext} not a multiple of {b}")
+    bx = wext // b
+    bxg = bx if bx_grid is None else bx_grid
+    if bxg < bx:
+        raise ValueError(f"bx_grid {bxg} < tile columns {bx}")
+    j = np.arange(w)
+    g = j + pad
+    if inverse:
+        p = np.zeros((b * bxg, w), np.float32)
+        p[(g % b) * bxg + g // b, j] = 1.0
+    else:
+        p = np.zeros((w, b * bxg), np.float32)
+        p[j, (g % b) * bxg + g // b] = 1.0
+    return p
+
+
+def tile_perm_device(w: int, pad: int, inverse: bool, bx_grid: int | None = None):
+    """The one-hot relayout operand as a DEVICE array (bfloat16).
+
+    Pass this into interior_to_tiles/tiles_to_interior via perm= when the
+    call sits inside a jit that runs per frame: as a closure/trace constant
+    XLA regenerates the (multi-MB) matrix on device every step; as an
+    argument it lives in HBM once."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(_perm_np_interior(w, pad, inverse, bx_grid), jnp.bfloat16)
+
+
+def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
+                      by_grid: int | None = None):
+    """(.., h, w) INTERIOR plane -> (.., 8, 8, by_grid, bx_grid) tile-planes
+    of the zero-extended plane (Q6 defined-zero padding, cpu.h:55-82 done
+    right), with the tile grid optionally pre-padded to (by_grid, bx_grid)
+    (no-op tiles: zero pixels).
+
+    Equals plane_to_tiles(zero-pad(plane, pad)) (plus zero tile rows/columns
+    up to the grid) bit-for-bit; on TPU the column padding and grid padding
+    fold into the relayout matmul."""
+    *lead, h, w = plane.shape
+    n = len(lead)
+    b = SAMPLE_BLOCK_SIZE
+    bx = (w + 2 * pad) // b
+    by = (h + 2 * pad) // b
+    bxg = bx if bx_grid is None else bx_grid
+    byg = by if by_grid is None else by_grid
+    if byg < by:
+        raise ValueError(f"by_grid {byg} < tile rows {by}")
+    if not _mxu_eligible(plane):
+        import numpy as np
+
+        if isinstance(plane, np.ndarray):
+            xp = np
+        else:
+            import jax.numpy as xp
+        widths = [(0, 0)] * n + [(pad, pad), (pad, pad)]
+        t = plane_to_tiles(xp.pad(plane, widths))
+        if bxg > bx or byg > by:
+            t = xp.pad(t, [(0, 0)] * (n + 2) + [(0, byg - by), (0, bxg - bx)])
+        return t
+    import jax
+    import jax.numpy as jnp
+
+    if perm is None:
+        perm = jnp.asarray(_perm_np_interior(w, pad, False, bxg), jnp.bfloat16)
+    rows = jnp.pad(plane, [(0, 0)] * n + [(pad, pad + b * (byg - by)), (0, 0)])
+    o = jax.lax.dot_general(
+        rows.astype(jnp.bfloat16), perm,
+        (((n + 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (.., 8*byg, [c, t])
+    o = o.reshape(*lead, byg, b, b, bxg)
+    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
+
+
+def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
+    """(.., 8, 8, By, bx_grid) tile-planes -> (.., h, w) interior of the
+    extended plane (the written-back region, cpu.h:995-1018).  Accepts a
+    grid whose tile columns are padded past Bx (the extra columns are
+    ignored).  Equals tiles_to_plane(tiles[.., :Bx])[.., pad:pad+h,
+    pad:pad+w]; on TPU the interior selection folds into the inverse
+    relayout matmul and interior rows are sliced BEFORE the dot so the
+    matmul output converts straight to uint8."""
+    *lead, r, c, by_g, bxg = tiles.shape
+    n = len(lead)
+    b = SAMPLE_BLOCK_SIZE
+    bx = (w + 2 * pad) // b
+    by = (h + 2 * pad) // b
+    if not _mxu_eligible(tiles):
+        full = tiles_to_plane(tiles[..., :by, :bx])
+        return full[..., pad : pad + h, pad : pad + w]
+    import jax
+    import jax.numpy as jnp
+
+    if perm is None:
+        perm = jnp.asarray(_perm_np_interior(w, pad, True, bxg), jnp.bfloat16)
+    o = tiles[..., :by, :].transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
+    o = o.reshape(*lead, by * b, b * bxg)
+    o = o[..., pad : pad + h, :]  # interior rows BEFORE the dot
+    o = jax.lax.dot_general(
+        o.astype(jnp.bfloat16), perm,
+        (((n + 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return o.astype(jnp.uint8)
+
+
 def plane_to_tiles(plane):
     """(.., Hext, Wext) -> (.., 8, 8, By, Bx); T[.., r, c, by, bx] == plane[.., 8by+r, 8bx+c]."""
     b = SAMPLE_BLOCK_SIZE
     *lead, h, w = plane.shape
     if h % b or w % b:
         raise ValueError(f"extended plane dims must be multiples of {b}, got {h}x{w}")
+    if _mxu_eligible(plane):
+        return _plane_to_tiles_mxu(plane)
     n = len(lead)
     t = plane.reshape(*lead, h // b, b, w // b, b)
     # (.., By, r, Bx, c) -> (.., r, c, By, Bx)
@@ -98,6 +317,8 @@ def tiles_to_plane(tiles):
     *lead, r, c, by, bx = tiles.shape
     if r != b or c != b:
         raise ValueError(f"expected leading tile dims ({b},{b}), got ({r},{c})")
+    if _mxu_eligible(tiles):
+        return _tiles_to_plane_mxu(tiles)
     n = len(lead)
     # (.., r, c, By, Bx) -> (.., By, r, Bx, c)
     t = tiles.transpose(*range(n), n + 2, n + 0, n + 3, n + 1)

@@ -27,3 +27,116 @@ def test_leading_batch_dims(rng):
     assert t.shape == (2, 3, 8, 8, 2, 3)
     assert np.array_equal(tiles_to_plane(t), planes)
     assert np.array_equal(t[1, 2], plane_to_tiles(planes[1, 2]))
+
+
+class TestMxuRelayout:
+    """The MXU one-hot relayout engine (utils/tiles._plane_to_tiles_mxu)
+    must be bit-identical to the reshape+transpose engine -- it is the
+    TPU fast path for every device graph's layout boundary."""
+
+    def _force(self, monkeypatch):
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+
+    def test_forward_matches_transpose(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        plane = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+        ref = plane_to_tiles(plane)  # numpy engine
+        self._force(monkeypatch)
+        got = plane_to_tiles(jnp.asarray(plane))
+        assert got.dtype == jnp.uint8
+        assert np.array_equal(np.asarray(got), ref)
+
+    def test_inverse_matches_transpose(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        plane = rng.integers(0, 256, (40, 64), dtype=np.uint8)
+        t = plane_to_tiles(plane)
+        self._force(monkeypatch)
+        got = tiles_to_plane(jnp.asarray(t))
+        assert np.array_equal(np.asarray(got), plane)
+
+    def test_leading_dims(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        planes = rng.integers(0, 256, (2, 3, 16, 24), dtype=np.uint8)
+        ref = plane_to_tiles(planes)
+        self._force(monkeypatch)
+        t = plane_to_tiles(jnp.asarray(planes))
+        assert np.array_equal(np.asarray(t), ref)
+        assert np.array_equal(np.asarray(tiles_to_plane(t)), planes)
+
+    def test_under_jit(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        plane = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        self._force(monkeypatch)
+        got = jax.jit(lambda x: tiles_to_plane(plane_to_tiles(x)))(jnp.asarray(plane))
+        assert np.array_equal(np.asarray(got), plane)
+
+    def test_full_pipeline_bitexact_with_mxu_relayout(self, rng, monkeypatch):
+        """Whole packed graph with the MXU relayout == golden oracle."""
+        from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+        from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
+        from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+        from gpu_video_codec_tpu.utils.yuv import (
+            planes_from_yv12_bytes, yv12_bytes_from_planes,
+        )
+
+        self._force(monkeypatch)
+        w, h = 64, 48
+        raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+        s = StreamingDeblocker(w, h, qp=35, backend="jnp")
+        out = next(iter(s.run([raw])))
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), 35)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+class TestInteriorFused:
+    """interior_to_tiles / tiles_to_interior must equal pad+relayout /
+    relayout+slice on BOTH engines (they fold Q6 padding and the interior
+    write-back into the relayout)."""
+
+    def test_numpy_engine(self, rng):
+        from gpu_video_codec_tpu.utils.tiles import (
+            interior_to_tiles, tiles_to_interior,
+        )
+
+        h, w, p = 40, 56, 4
+        x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ref = plane_to_tiles(np.pad(x, p))
+        t = interior_to_tiles(x, p)
+        assert np.array_equal(t, ref)
+        assert np.array_equal(tiles_to_interior(t, p, h, w), x)
+
+    def test_mxu_engine(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import (
+            interior_to_tiles, tiles_to_interior,
+        )
+
+        h, w, p = 40, 56, 4
+        x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ref = plane_to_tiles(np.pad(x, p))
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        t = interior_to_tiles(jnp.asarray(x), p)
+        assert np.array_equal(np.asarray(t), ref)
+        back = tiles_to_interior(t, p, h, w)
+        assert np.array_equal(np.asarray(back), x)
+
+    def test_mxu_engine_after_filtering_writeback(self, rng, monkeypatch):
+        """tiles whose border tiles wrote into the padding still read back
+        the correct interior (padding columns are dropped by the inverse)."""
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import tiles_to_interior
+
+        h, w, p = 16, 24, 4
+        ext = rng.integers(0, 256, (h + 2 * p, w + 2 * p), dtype=np.uint8)
+        t = plane_to_tiles(ext)
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        got = tiles_to_interior(jnp.asarray(t), p, h, w)
+        assert np.array_equal(np.asarray(got), ext[p : p + h, p : p + w])

@@ -22,94 +22,17 @@ claim in docs/PERF.md is backed by measured device numbers.
 
 from __future__ import annotations
 
-import glob
-import gzip
 import json
 import os
 import sys
 import tempfile
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _load_trace_events(trace_dir: str) -> list[dict]:
-    """Read every Chrome-trace event from a jax.profiler trace directory."""
-    pats = os.path.join(trace_dir, "**", "*.trace.json.gz")
-    events: list[dict] = []
-    for path in glob.glob(pats, recursive=True):
-        with gzip.open(path, "rt") as f:
-            data = json.load(f)
-        events.extend(data.get("traceEvents", []))
-    return events
-
-
-def device_op_durations(trace_dir: str) -> dict[str, float]:
-    """Sum device-lane LEAF complete-event ('ph' == 'X') durations (us) by op.
-
-    Device lanes are identified by their process name metadata: the TPU
-    runtime emits tracks named like '/device:TPU:0' / 'TPU:0' (the CPU
-    backend similarly); host threads are named 'python'/'pthread' etc. and
-    are excluded.  Container events (a 'jit_*' module scope, XLA 'while'/
-    'condition'/'body' control scopes) enclose their children on the same
-    track, so summing every event double-counts; leaf-only = events that
-    contain no other event on their track.
-    """
-    events = _load_trace_events(trace_dir)
-    pid_names: dict[int, str] = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
-    device_pids = {
-        pid for pid, name in pid_names.items()
-        if "TPU" in name or "/device:" in name.lower() or "GPU" in name
-    }
-    # control/module scopes are not hardware ops; they also live on separate
-    # trace tracks ("XLA Modules") where per-track nesting can't catch them
-    _SCOPES = ("jit_", "jit__", "while", "condition", "body", "cond_")
-    by_track: dict[tuple, list[dict]] = defaultdict(list)
-    for e in events:
-        if (e.get("ph") == "X" and e.get("pid") in device_pids
-                and not str(e.get("name", "")).startswith(_SCOPES)):
-            by_track[(e["pid"], e.get("tid", 0))].append(e)
-    totals: dict[str, float] = defaultdict(float)
-    for track in by_track.values():
-        track.sort(key=lambda e: (float(e["ts"]), -float(e.get("dur", 0.0))))
-        stack: list[tuple[float, dict]] = []  # (end_ts, event) of open spans
-        has_child: dict[int, bool] = {}
-        for e in track:
-            ts = float(e["ts"])
-            while stack and stack[-1][0] <= ts:
-                end, parent = stack.pop()
-                if not has_child.pop(id(parent), False):
-                    totals[parent.get("name", "?")] += float(parent.get("dur", 0.0))
-            if stack:
-                has_child[id(stack[-1][1])] = True
-            stack.append((ts + float(e.get("dur", 0.0)), e))
-            has_child[id(e)] = False
-        while stack:
-            end, parent = stack.pop()
-            if not has_child.pop(id(parent), False):
-                totals[parent.get("name", "?")] += float(parent.get("dur", 0.0))
-    return dict(totals)
-
-
-def categorize(totals: dict[str, float]) -> dict[str, float]:
-    """Bucket op names into deblock-kernel vs layout/copy vs loop/other."""
-    cats: dict[str, float] = defaultdict(float)
-    for name, us in totals.items():
-        n = name.lower()
-        if n.startswith(("jit_", "while", "condition", "body", "cond_")):
-            cats["scopes_should_be_empty"] += us
-        elif "deblock" in n or "custom-call" in n or "mosaic" in n:
-            cats["deblock_kernels"] += us
-        elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape",
-                                  "concatenate", "pad", "slice", "fusion")):
-            cats["layout_and_copies"] += us
-        else:
-            cats["other"] += us
-    cats["total"] = sum(v for k, v in cats.items() if k != "total")
-    return dict(cats)
+from gpu_video_codec_tpu.utils.tracing import (  # noqa: E402
+    categorize_ops as categorize,
+    device_op_totals as device_op_durations,
+)
 
 
 def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
@@ -129,9 +52,7 @@ def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
 
     from bench.bench_lib import packed_yv12, synthetic_frame
     from gpu_video_codec_tpu.models.resident import ResidentDeblocker
-    from gpu_video_codec_tpu.models.streaming import (
-        StreamingDeblocker, _deblock_yv12_packed_n,
-    )
+    from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
 
     rd = ResidentDeblocker(w, h, qp)
     sd = StreamingDeblocker(w, h, qp)
@@ -145,10 +66,7 @@ def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
             return [rd.run_steps(tfs[0], steps)]
 
         def run_packed():
-            return [_deblock_yv12_packed_n(
-                devs[0], sd._lm, sd._cm, sd._beta, sd._tc, n=steps, w=w, h=h,
-                luma_only=False, backend="pallas",
-                luma_block=sd._luma_block, chroma_block=sd._chroma_block)]
+            return [sd._chain(devs[0], steps)]
     else:
         def run_resident():
             return [rd.step(tfs[i % k]) for i in range(steps)]
