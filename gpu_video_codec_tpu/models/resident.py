@@ -2,9 +2,9 @@
 
 The per-frame cost of the standard streaming path (models/streaming.py) is
 dominated not by the fused deblock kernel but by the layout contract around
-it -- packed YV12 bytes in, packed YV12 bytes out -- whose plane <-> tile-
-planes transposes run as XLA copy passes over the whole frame (docs/PERF.md:
-~21 us full graph vs ~8 us HBM floor at 1080p).  For a pipeline whose frames
+it -- packed YV12 bytes in, packed YV12 bytes out -- whose relayout passes
+cost ~6x the kernels even on the MXU one-hot engine (docs/PERF.md: ~205 us
+full graph vs ~27 us of kernels at 1080p).  For a pipeline whose frames
 *stay on device between stages* (a codec loop, a transcode graph, a filter
 chain), those transposes are pure overhead: the producer can hand this stage
 tile-planes directly and the consumer can keep them.

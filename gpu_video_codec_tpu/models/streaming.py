@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deblock import deblock_frame
-from ..ops.tables import HALF_BLOCK, get_beta, get_tc
+from ..ops.tables import HALF_BLOCK, SAMPLE_BLOCK_SIZE, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, segment_bs_maps_device
 from ..utils.yuv import FramePlanes, check_dims
 
@@ -64,10 +64,12 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
     interior directly (utils.tiles.interior_to_tiles/tiles_to_interior):
     the Q6 zero padding, the Pallas grid padding AND the interior write-back
     slice all fold into the relayout matmuls, skipping several full-plane
-    materialization passes.  yperms carries the two one-hot relayout
-    operands as arguments so XLA doesn't regenerate the multi-MB matrices on
-    device each step.  Chroma keeps explicit extended planes -- the Q9 flat
-    view is defined on the padded buffer."""
+    materialization passes.  Chroma does the same whenever the extended
+    chroma width is 8-aligned (the non-sheared Q9 case -- every w%16==0
+    geometry); only sheared geometries pay the explicit extended-plane
+    covered-split path.  yperms carries the one-hot relayout operands as
+    arguments so XLA doesn't regenerate the multi-MB matrices on device
+    each step."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     y = buf[: w * h].reshape(h, w)
@@ -78,13 +80,27 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
         from ..utils.tiles import interior_to_tiles, tiles_to_interior
 
         byg, bxg = luma_grid or luma_grid_shape(w, h, luma_block)
-        fwd, inv = yperms if yperms is not None else (None, None)
+        fwd, inv, cfwd, cinv = yperms if yperms is not None else (None,) * 4
         yt = interior_to_tiles(y, p, perm=fwd, by_grid=byg, bx_grid=bxg)
         y_out = deblock_tiles_pallas(yt, *lm, beta, tc, chroma=False,
                                      block_by=luma_block[0], block_bx=luma_block[1])
         y_flat = tiles_to_interior(y_out, p, h, w, perm=inv).ravel()
         if luma_only:
             return jnp.concatenate([y_flat, u.ravel(), v.ravel()])
+        if (cw + 2 * p) % SAMPLE_BLOCK_SIZE == 0:
+            # non-sheared Q9: the covered flat view IS the extended plane
+            # (minus untouched bottom padding rows), so chroma rides the same
+            # fused interior<->tiles relayout as luma -- no explicit pads,
+            # covered split/join, or interior slices.  U and V batch through
+            # ONE relayout dot via the packed buffer's (2, ch, cw) adjacency,
+            # and the output concat sees two flat operands.
+            uvt = interior_to_tiles(buf[w * h :].reshape(2, ch, cw), p, perm=cfwd)
+            cmaps = [m[None] for m in cm]  # one shared map across the U/V batch
+            uv_out = deblock_tiles_pallas(uvt, *cmaps, beta, tc, chroma=True,
+                                          block_by=chroma_block[0],
+                                          block_bx=chroma_block[1])
+            uv_flat = tiles_to_interior(uv_out, p, ch, cw, perm=cinv).ravel()
+            return jnp.concatenate([y_flat, uv_flat])
         ue, ve = deblock_chroma_ext_pallas(jnp.pad(u, p), jnp.pad(v, p),
                                            cm, beta, tc, chroma_block=chroma_block)
         return jnp.concatenate([
@@ -154,8 +170,16 @@ class StreamingDeblocker:
             from ..utils.tiles import tile_perm_device
 
             bxg = self._luma_grid[1]
-            self._yperms = (tile_perm_device(width, HALF_BLOCK, False, bxg),
-                            tile_perm_device(width, HALF_BLOCK, True, bxg))
+            perms = [tile_perm_device(width, HALF_BLOCK, False, bxg),
+                     tile_perm_device(width, HALF_BLOCK, True, bxg)]
+            cw = width // 2
+            if (cw + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0 and not luma_only:
+                # non-sheared Q9 geometry: chroma uses the fused relayout too
+                perms += [tile_perm_device(cw, HALF_BLOCK, False),
+                          tile_perm_device(cw, HALF_BLOCK, True)]
+            else:
+                perms += [None, None]
+            self._yperms = tuple(perms)
         else:
             self._yperms = None
         self.update_boundary_strength(bs or BoundaryStrength.intra_default(width, height))

@@ -50,17 +50,23 @@ BLOCK_BY = 8
 BLOCK_BX = 128
 
 
-def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *, chroma, dtype):
+def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *,
+            chroma, dtype, batched=False):
     # beta/tc stay int32 scalars: Mosaic supports only i32 scalar arithmetic;
     # filters._thr casts derived thresholds to `dtype` in the vector domain
     beta = beta_ref[0]
     tc = tc_ref[0]
-    planes = [[t_ref[r, c].astype(dtype) for c in range(8)] for r in range(8)]
-    bs_maps = tuple(ref[...].astype(jnp.int32) for ref in (v1_ref, v2_ref, h1_ref, h2_ref))
+    t_in = t_ref[0] if batched else t_ref
+    planes = [[t_in[r, c].astype(dtype) for c in range(8)] for r in range(8)]
+    bs = (v1_ref, v2_ref, h1_ref, h2_ref)
+    bs_maps = tuple((ref[0] if batched else ref[...]).astype(jnp.int32) for ref in bs)
     deblock_planes_core(planes, bs_maps, beta, tc, chroma, dtype=dtype)
     for r in range(8):
         for c in range(8):
-            out_ref[r, c] = planes[r][c].astype(out_ref.dtype)
+            if batched:
+                out_ref[0, r, c] = planes[r][c].astype(out_ref.dtype)
+            else:
+                out_ref[r, c] = planes[r][c].astype(out_ref.dtype)
 
 
 def _pad_to(x, by, bx):
@@ -96,12 +102,18 @@ def deblock_tiles_pallas(
 ):
     """Fused deblock of a (8, 8, By, Bx) uint8 tile tensor on TPU.
 
+    A leading batch axis is supported natively: tiles (NB, 8, 8, By, Bx)
+    with bs maps (NB, By, Bx) -- or (1, By, Bx) to share one map across the
+    batch -- runs the batch as the outermost grid dimension (frames /
+    planes per launch with zero data reordering).
+
     bs_*: (By, Bx) uint8 segment BS maps.  beta/tc: int32 scalars.
     interpret: force Pallas interpreter mode (auto: on when not on a TPU,
     so CPU tests exercise the same kernel code).
     """
     if interpret is None:
         interpret = not _on_tpu()
+    batched = tiles.ndim == 5
     by, bx = tiles.shape[-2], tiles.shape[-1]
     # adaptive tail blocks: a grid narrower than the default block would be
     # zero-padded all the way up (e.g. CIF: Bx=45 -> 128, 2.8x HBM traffic);
@@ -112,21 +124,34 @@ def deblock_tiles_pallas(
     t = _pad_to(tiles, block_by, block_bx)
     maps = [_pad_to(m, block_by, block_bx) for m in (bs_ver1, bs_ver2, bs_hor1, bs_hor2)]
     pby, pbx = t.shape[-2], t.shape[-1]
-    grid = (pby // block_by, pbx // block_bx)
-
-    tile_spec = pl.BlockSpec(
-        (8, 8, block_by, block_bx), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM
-    )
-    map_spec = pl.BlockSpec(
-        (block_by, block_bx), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
     scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    if batched:
+        nb = t.shape[0]
+        grid = (nb, pby // block_by, pbx // block_bx)
+        tile_spec = pl.BlockSpec((1, 8, 8, block_by, block_bx),
+                                 lambda b, i, j: (b, 0, 0, i, j),
+                                 memory_space=pltpu.VMEM)
+        map_specs = [
+            pl.BlockSpec((1, block_by, block_bx),
+                         (lambda b, i, j: (b, i, j)) if m.shape[0] != 1
+                         else (lambda b, i, j: (0, i, j)),
+                         memory_space=pltpu.VMEM)
+            for m in maps
+        ]
+    else:
+        grid = (pby // block_by, pbx // block_bx)
+        tile_spec = pl.BlockSpec((8, 8, block_by, block_bx),
+                                 lambda i, j: (0, 0, i, j),
+                                 memory_space=pltpu.VMEM)
+        map_specs = [pl.BlockSpec((block_by, block_bx), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)] * 4
+
     out = pl.pallas_call(
-        functools.partial(_kernel, chroma=chroma, dtype=dtype),
+        functools.partial(_kernel, chroma=chroma, dtype=dtype, batched=batched),
         out_shape=jax.ShapeDtypeStruct(t.shape, t.dtype),
         grid=grid,
-        in_specs=[scalar_spec, scalar_spec, tile_spec] + [map_spec] * 4,
+        in_specs=[scalar_spec, scalar_spec, tile_spec] + map_specs,
         out_specs=tile_spec,
         interpret=interpret,
     )(

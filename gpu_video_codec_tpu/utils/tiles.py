@@ -92,18 +92,58 @@ def join_covered(core, rem, h, w, xp):
 # measured, tools/relayout_exp.py).
 #
 # "mxu": express the intra-row de-interleave (the minor-dim change, the only
-# hard part) as ONE one-hot matmul in bfloat16 -- uint8 pixel values (<= 255)
-# are exact in bf16 and the one-hot contraction selects exactly one input
-# per output, so the result is bit-exact by construction.  The residual
-# row-block reorder keeps the minor dim contiguous and costs a cheap chunked
-# copy.  Device-trace measured at 1080p luma: 116 us forward / 133 us
-# inverse, ~4-5x over "transpose", with the dot running near MXU peak.
-# (Race of all candidate formulations: tools/relayout_exp.py.)
+# hard part) as ONE one-hot matmul -- the one-hot contraction selects exactly
+# one input per output, so the result is bit-exact by construction.  The
+# residual row-block reorder keeps the minor dim contiguous and costs a cheap
+# chunked copy.  (Race of all candidate formulations: tools/relayout_exp.py.)
+#
+# MXU dtype (GVCT_RELAYOUT_DTYPE):
+#   "s8" (default): the v5e MXU runs s8 x s8 -> s32 at 2x the bf16 MAC rate.
+#     uint8 pixels don't fit int8, but (x - 128) does, and with a 0/1 matrix
+#     P: dot(x - 128, P) + 128 * colsum(P) == dot(x, P) exactly (colsum is 1
+#     on selected output columns, 0 on padding columns, so padding still
+#     lands at 0).  Device-trace measured at 1080p luma: 35.4 us/plane vs
+#     bf16's 47.9 (tools/pack_exp.py), bit-exact on hardware.
+#   "bf16": uint8 values (<= 255) are exact in bf16; kept for comparison.
 #
 # "auto" (default): mxu for uint8 jax arrays when jax is executing on TPU;
 # transpose otherwise (numpy hosts, CPU test meshes).  GVCT_RELAYOUT
 # overrides for experiments.
 # ---------------------------------------------------------------------------
+
+
+def _perm_device(perm_np):
+    """Device operands for a one-hot relayout dot: (mat, bias).
+
+    s8 mode: (int8 matrix, int32 bias = 128 * column sums); bf16 mode:
+    (bfloat16 matrix, None)."""
+    import jax.numpy as jnp
+
+    if os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") == "bf16":
+        return jnp.asarray(perm_np, jnp.bfloat16), None
+    bias = (128.0 * perm_np.sum(0)).astype("int32")
+    return jnp.asarray(perm_np, jnp.int8), jnp.asarray(bias)
+
+
+def _onehot_dot(x_u8, ops, n):
+    """dot(x_u8, P) over x's last axis (n leading axes kept), exactly.
+
+    ops = (mat, bias) from _perm_device; returns int-valued f32 (bf16 mode)
+    or int32 (s8 mode) -- callers .astype(uint8) after any reshaping."""
+    import jax
+
+    mat, bias = ops
+    dims = (((n + 1,), (0,)), ((), ()))
+    if bias is None:
+        import jax.numpy as jnp
+
+        return jax.lax.dot_general(x_u8.astype(jnp.bfloat16), mat, dims,
+                                   preferred_element_type=jnp.float32)
+    import jax.numpy as jnp
+
+    xs = (x_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    o = jax.lax.dot_general(xs, mat, dims, preferred_element_type=jnp.int32)
+    return o + bias
 
 
 @functools.lru_cache(maxsize=None)
@@ -139,41 +179,29 @@ def _mxu_eligible(x) -> bool:
 
 
 def _plane_to_tiles_mxu(plane):
-    import jax
     import jax.numpy as jnp
 
     b = SAMPLE_BLOCK_SIZE
     *lead, h, w = plane.shape
     n = len(lead)
     by, bx = h // b, w // b
-    p = jnp.asarray(_perm_np(w, inverse=False), jnp.bfloat16)
-    o = jax.lax.dot_general(
-        plane.astype(jnp.bfloat16), p,
-        (((n + 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (.., Hext, [c, t])
-    o = o.reshape(*lead, by, b, b, bx)
+    o = _onehot_dot(plane, _perm_device(_perm_np(w, inverse=False)), n)
+    o = o.reshape(*lead, by, b, b, bx)  # (.., Hext, [c, t]) -> split
     # (.., By, r, c, Bx) -> (.., r, c, By, Bx): minor dim Bx unchanged
     return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
 
 
 def _tiles_to_plane_mxu(tiles):
-    import jax
     import jax.numpy as jnp
 
     b = SAMPLE_BLOCK_SIZE
     *lead, r, c, by, bx = tiles.shape
     n = len(lead)
     w = bx * b
-    p = jnp.asarray(_perm_np(w, inverse=True), jnp.bfloat16)
     # (.., r, c, By, Bx) -> (.., By, r, [c, Bx]) rows: minor dim Bx unchanged
     o = tiles.transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
     o = o.reshape(*lead, by * b, b * bx)
-    o = jax.lax.dot_general(
-        o.astype(jnp.bfloat16), p,
-        (((n + 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    o = _onehot_dot(o, _perm_device(_perm_np(w, inverse=True)), n)
     return o.astype(jnp.uint8)
 
 
@@ -208,15 +236,15 @@ def _perm_np_interior(w: int, pad: int, inverse: bool, bx_grid: int | None = Non
 
 
 def tile_perm_device(w: int, pad: int, inverse: bool, bx_grid: int | None = None):
-    """The one-hot relayout operand as a DEVICE array (bfloat16).
+    """The one-hot relayout operands as DEVICE arrays: (mat, bias) --
+    int8 matrix + int32 add-back bias (s8 mode, default) or bfloat16 matrix
+    + None (GVCT_RELAYOUT_DTYPE=bf16).
 
     Pass this into interior_to_tiles/tiles_to_interior via perm= when the
     call sits inside a jit that runs per frame: as a closure/trace constant
     XLA regenerates the (multi-MB) matrix on device every step; as an
     argument it lives in HBM once."""
-    import jax.numpy as jnp
-
-    return jnp.asarray(_perm_np_interior(w, pad, inverse, bx_grid), jnp.bfloat16)
+    return _perm_device(_perm_np_interior(w, pad, inverse, bx_grid))
 
 
 def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
@@ -226,9 +254,16 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
     right), with the tile grid optionally pre-padded to (by_grid, bx_grid)
     (no-op tiles: zero pixels).
 
-    Equals plane_to_tiles(zero-pad(plane, pad)) (plus zero tile rows/columns
-    up to the grid) bit-for-bit; on TPU the column padding and grid padding
-    fold into the relayout matmul."""
+    Tile rows count by truncating division, (h + 2*pad) // 8 -- for luma
+    (h % 8 == 0) that covers the full extended plane; for chroma with
+    h % 8 == 4 it is the Q9 COVERED row count (the dropped bottom rows are
+    padding that the covered sweep never touches, cpu.h:450-451).  Requires
+    the extended width to be 8-aligned (the non-sheared Q9 case).
+
+    Equals plane_to_tiles(zero-pad(plane, pad)) restricted to covered tile
+    rows (plus zero tiles up to the grid) bit-for-bit; on TPU the column
+    padding, grid padding and row truncation all fold into one relayout
+    matmul + one row pad."""
     *lead, h, w = plane.shape
     n = len(lead)
     b = SAMPLE_BLOCK_SIZE
@@ -238,6 +273,10 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
     byg = by if by_grid is None else by_grid
     if byg < by:
         raise ValueError(f"by_grid {byg} < tile rows {by}")
+    if pad + h > b * by:
+        raise ValueError(f"interior rows [{pad}, {pad + h}) exceed covered rows {b * by}")
+    bot = b * byg - pad - h  # bottom zero rows: Q6 padding (clipped to the
+    #                          covered extent) + grid-padding tile rows
     if not _mxu_eligible(plane):
         import numpy as np
 
@@ -245,22 +284,19 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
             xp = np
         else:
             import jax.numpy as xp
-        widths = [(0, 0)] * n + [(pad, pad), (pad, pad)]
+        widths = [(0, 0)] * n + [(pad, bot), (pad, pad)]
         t = plane_to_tiles(xp.pad(plane, widths))
-        if bxg > bx or byg > by:
-            t = xp.pad(t, [(0, 0)] * (n + 2) + [(0, byg - by), (0, bxg - bx)])
+        if bxg > bx:
+            t = xp.pad(t, [(0, 0)] * (n + 2) + [(0, 0), (0, bxg - bx)])
         return t
-    import jax
     import jax.numpy as jnp
 
     if perm is None:
-        perm = jnp.asarray(_perm_np_interior(w, pad, False, bxg), jnp.bfloat16)
-    rows = jnp.pad(plane, [(0, 0)] * n + [(pad, pad + b * (byg - by)), (0, 0)])
-    o = jax.lax.dot_general(
-        rows.astype(jnp.bfloat16), perm,
-        (((n + 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (.., 8*byg, [c, t])
+        perm = _perm_device(_perm_np_interior(w, pad, False, bxg))
+    # zero row padding is exact under the s8 engine too: (0-128) selected
+    # -> -128 + bias 128 = 0, and unselected columns get bias 0
+    rows = jnp.pad(plane, [(0, 0)] * n + [(pad, bot), (0, 0)])
+    o = _onehot_dot(rows, perm, n)  # (.., 8*byg, [c, t])
     o = o.reshape(*lead, byg, b, b, bxg)
     return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
 
@@ -281,19 +317,14 @@ def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
     if not _mxu_eligible(tiles):
         full = tiles_to_plane(tiles[..., :by, :bx])
         return full[..., pad : pad + h, pad : pad + w]
-    import jax
     import jax.numpy as jnp
 
     if perm is None:
-        perm = jnp.asarray(_perm_np_interior(w, pad, True, bxg), jnp.bfloat16)
+        perm = _perm_device(_perm_np_interior(w, pad, True, bxg))
     o = tiles[..., :by, :].transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
     o = o.reshape(*lead, by * b, b * bxg)
     o = o[..., pad : pad + h, :]  # interior rows BEFORE the dot
-    o = jax.lax.dot_general(
-        o.astype(jnp.bfloat16), perm,
-        (((n + 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    o = _onehot_dot(o, perm, n)
     return o.astype(jnp.uint8)
 
 

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from gpu_video_codec_tpu.utils.tiles import plane_to_tiles, tiles_to_plane
 
@@ -29,10 +30,21 @@ def test_leading_batch_dims(rng):
     assert np.array_equal(t[1, 2], plane_to_tiles(planes[1, 2]))
 
 
+@pytest.fixture(params=["s8", "bf16"])
+def mxu_dtype(request):
+    """Both MXU relayout dot dtypes must be bit-identical to the
+    reshape+transpose engine (s8 = 2x MAC-rate default, bf16 = fallback)."""
+    return request.param
+
+
 class TestMxuRelayout:
     """The MXU one-hot relayout engine (utils/tiles._plane_to_tiles_mxu)
     must be bit-identical to the reshape+transpose engine -- it is the
     TPU fast path for every device graph's layout boundary."""
+
+    @pytest.fixture(autouse=True)
+    def _dtype(self, mxu_dtype, monkeypatch):
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", mxu_dtype)
 
     def _force(self, monkeypatch):
         monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
@@ -111,7 +123,7 @@ class TestInteriorFused:
         assert np.array_equal(t, ref)
         assert np.array_equal(tiles_to_interior(t, p, h, w), x)
 
-    def test_mxu_engine(self, rng, monkeypatch):
+    def test_mxu_engine(self, rng, monkeypatch, mxu_dtype):
         import jax.numpy as jnp
 
         from gpu_video_codec_tpu.utils.tiles import (
@@ -122,12 +134,34 @@ class TestInteriorFused:
         x = rng.integers(0, 256, (h, w), dtype=np.uint8)
         ref = plane_to_tiles(np.pad(x, p))
         monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", mxu_dtype)
         t = interior_to_tiles(jnp.asarray(x), p)
         assert np.array_equal(np.asarray(t), ref)
         back = tiles_to_interior(t, p, h, w)
         assert np.array_equal(np.asarray(back), x)
 
-    def test_mxu_engine_after_filtering_writeback(self, rng, monkeypatch):
+    def test_mxu_engine_grid_padded(self, rng, monkeypatch, mxu_dtype):
+        """Grid pre-padding (no-op tile rows/cols) folds into the relayout
+        on both dot dtypes; padding tiles must come out exactly zero."""
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import (
+            interior_to_tiles, tiles_to_interior,
+        )
+
+        h, w, p = 40, 56, 4
+        by, bx = (h + 2 * p) // 8, (w + 2 * p) // 8
+        byg, bxg = by + 3, bx + 5
+        x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ref = np.zeros((8, 8, byg, bxg), np.uint8)
+        ref[..., :by, :bx] = plane_to_tiles(np.pad(x, p))
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", mxu_dtype)
+        t = interior_to_tiles(jnp.asarray(x), p, by_grid=byg, bx_grid=bxg)
+        assert np.array_equal(np.asarray(t), ref)
+        assert np.array_equal(np.asarray(tiles_to_interior(t, p, h, w)), x)
+
+    def test_mxu_engine_after_filtering_writeback(self, rng, monkeypatch, mxu_dtype):
         """tiles whose border tiles wrote into the padding still read back
         the correct interior (padding columns are dropped by the inverse)."""
         import jax.numpy as jnp
@@ -138,5 +172,6 @@ class TestInteriorFused:
         ext = rng.integers(0, 256, (h + 2 * p, w + 2 * p), dtype=np.uint8)
         t = plane_to_tiles(ext)
         monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", mxu_dtype)
         got = tiles_to_interior(jnp.asarray(t), p, h, w)
         assert np.array_equal(np.asarray(got), ext[p : p + h, p : p + w])
