@@ -120,13 +120,21 @@ def bench_batched_cif(backend: str = "pallas", batch: int = 32, n_iters: int = 1
     fn = deblock_frame_pallas_jit if backend == "pallas" else _deblock_jit
     out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
     jax.block_until_ready(out)
-    dt = float("inf")
-    for _ in range(3):  # best-of vs shared-device load spikes
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
-        jax.block_until_ready(out)
-        dt = min(dt, (time.perf_counter() - t0) / n_iters)
+    from gpu_video_codec_tpu.utils.tracing import profiled_device_us
+
+    prof = profiled_device_us(
+        lambda: fn(y, u, v, lmb, cmb, beta, tc, luma_only=False),
+        iters=min(n_iters, 30))
+    if prof is not None:
+        dt = prof[0] / 1e6  # device-trace time (see docs/PERF.md methodology)
+    else:
+        dt = float("inf")
+        for _ in range(3):  # best-of vs shared-device load spikes
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                out = fn(y, u, v, lmb, cmb, beta, tc, luma_only=False)
+            jax.device_get(out[0].ravel()[:1])  # completion-forcing read
+            dt = min(dt, (time.perf_counter() - t0) / n_iters)
     mpix = batch * w * h / dt / 1e6
     return {
         "config": f"batched {batch}x CIF, backend={backend}",
@@ -299,7 +307,9 @@ def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
         t0 = time.perf_counter()
         for _ in range(frames_per_stream):
             out = deblock_batch_sharded_jit(mesh, *args)
-        jax.block_until_ready(out)
+        # completion-forcing read (block_until_ready can return early on the
+        # dev tunnel; harmless on other backends)
+        jax.device_get(out[0].ravel()[:1])
         dt = (time.perf_counter() - t0) / frames_per_stream
         return {
             "config": f"4K x{n} streams sharded over {n_dev} devices",
@@ -352,15 +362,24 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
         seen.add(key)
         bby, bbx = eff
         try:
+            from gpu_video_codec_tpu.utils.tracing import profiled_device_us
+
             out = deblock_tiles_pallas(tiles, *maps, beta, tc,
                                        block_by=bby, block_bx=bbx)
             jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = deblock_tiles_pallas(tiles, *maps, beta, tc,
-                                           block_by=bby, block_bx=bbx)
-            jax.block_until_ready(out)
-            results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / iters
+            prof = profiled_device_us(
+                lambda: deblock_tiles_pallas(tiles, *maps, beta, tc,
+                                             block_by=bby, block_bx=bbx),
+                iters=min(iters, 30))
+            if prof is not None:
+                results[f"{bby}x{bbx}"] = prof[0] / 1e6  # device-trace time
+            else:
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    out = deblock_tiles_pallas(tiles, *maps, beta, tc,
+                                               block_by=bby, block_bx=bbx)
+                jax.device_get(out.ravel()[:1])  # completion-forcing read
+                results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / iters
         except Exception as e:  # noqa: BLE001 -- report compile failures per shape
             results[f"{bby}x{bbx}"] = f"failed: {type(e).__name__}"
     timed = {k: v for k, v in results.items() if isinstance(v, float)}
@@ -422,7 +441,9 @@ def link_h2d_microbench(mb: float = 3.1, n: int = 40, repeats: int = 3) -> dict:
     for _ in range(repeats):
         t0 = time.perf_counter()
         handles = [jax.device_put(bufs[i % 8]) for i in range(n)]
-        jax.block_until_ready(handles)
+        # completion-forcing read of the LAST put (block_until_ready can
+        # return early over the dev tunnel; docs/PERF.md methodology)
+        jax.device_get(handles[-1][:1])
         best = min(best, (time.perf_counter() - t0) / n)
     return {
         "buffer_mb": size / 1e6,

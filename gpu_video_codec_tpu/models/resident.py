@@ -79,38 +79,44 @@ def _effective_block(block: tuple[int, int], by: int, bx: int) -> tuple[int, int
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "lb", "cb"))
 def _ingest(buf, w, h, lb, cb, yperm=None):
-    """Packed YV12 uint8 (3wh/2,) -> TileFrame, one relayout pass.
+    """Packed YV12 uint8 (.., 3wh/2) -> TileFrame, one relayout pass.
 
-    Luma goes interior -> grid-padded tile-planes directly (the Q6 zero
-    padding AND the Pallas grid padding fold into the relayout matmul,
-    utils.tiles.interior_to_tiles); chroma keeps explicit extended planes
-    because the Q9 flat view is defined on the padded buffer."""
+    A leading batch axis carries through every field (the fused kernels run
+    the batch as a grid dimension).  Luma goes interior -> grid-padded
+    tile-planes directly (the Q6 zero padding AND the Pallas grid padding
+    fold into the relayout matmul, utils.tiles.interior_to_tiles); chroma
+    keeps explicit extended planes because the Q9 flat view is defined on
+    the padded buffer."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
-    u = jnp.pad(buf[w * h : w * h + cw * ch].reshape(ch, cw), p)
-    v = jnp.pad(buf[w * h + cw * ch :].reshape(ch, cw), p)
+    lead = buf.shape[:-1]
+    n = len(lead)
+    cpad = [(0, 0)] * n + [(p, p), (p, p)]
+    u = jnp.pad(buf[..., w * h : w * h + cw * ch].reshape(*lead, ch, cw), cpad)
+    v = jnp.pad(buf[..., w * h + cw * ch :].reshape(*lead, ch, cw), cpad)
 
     by, bx = (h + 2 * p) // _B, (w + 2 * p) // _B
     eby, ebx = _effective_block(lb, by, bx)
-    yt = interior_to_tiles(buf[: w * h].reshape(h, w), p, perm=yperm,
+    yt = interior_to_tiles(buf[..., : w * h].reshape(*lead, h, w), p, perm=yperm,
                            by_grid=-(-by // eby) * eby,
                            bx_grid=-(-bx // ebx) * ebx)
 
     u_core, u_rem = split_covered_data(u)
     v_core, v_rem = split_covered_data(v)
-    uv = jnp.concatenate([plane_to_tiles(u_core), plane_to_tiles(v_core)], axis=2)
+    uv = jnp.concatenate([plane_to_tiles(u_core), plane_to_tiles(v_core)], axis=-2)
     uv = _pad_to(uv, *_effective_block(cb, uv.shape[-2], uv.shape[-1]))
     return TileFrame(yt, uv, u_rem, v_rem)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h"))
 def _readback(tf: TileFrame, w, h, yperm=None):
-    """TileFrame -> filtered packed YV12 uint8, one relayout pass."""
+    """TileFrame -> filtered packed YV12 uint8 (.., 3wh/2), one relayout pass."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     chext, cwext = ch + 2 * p, cw + 2 * p
     # covered chroma grid dims (truncating division, Q9 / cpu.h:450-451)
     cby, cbx = chext // _B, cwext // _B
+    lead = tf.y.shape[:-4]
 
     y_int = tiles_to_interior(tf.y, p, h, w, perm=yperm)
     u_core = tiles_to_plane(tf.uv[..., :cby, :cbx])
@@ -118,17 +124,22 @@ def _readback(tf: TileFrame, w, h, yperm=None):
     u = join_covered(u_core, tf.u_rem, chext, cwext, jnp)
     v = join_covered(v_core, tf.v_rem, chext, cwext, jnp)
     return jnp.concatenate([
-        y_int.ravel(),
-        u[p : p + ch, p : p + cw].ravel(),
-        v[p : p + ch, p : p + cw].ravel(),
-    ])
+        y_int.reshape(*lead, h * w),
+        u[..., p : p + ch, p : p + cw].reshape(*lead, ch * cw),
+        v[..., p : p + ch, p : p + cw].reshape(*lead, ch * cw),
+    ], axis=-1)
 
 
 def _step_core(tf: TileFrame, lm, cm, beta, tc, luma_only, lb, cb):
     """The steady state: fused Pallas kernels only, zero layout work.
 
     Grids are pre-padded at ingest, so the kernels' own _pad_to is a no-op
-    and the graph is exactly two pallas_calls (one with luma_only)."""
+    and the graph is exactly two pallas_calls (one with luma_only).  A
+    batched TileFrame (leading frame axis) runs the batch as the kernels'
+    outermost grid dimension with ONE shared BS map."""
+    if tf.y.ndim == 5:  # batched: share one map across the frame batch
+        lm = tuple(m[None] for m in lm)
+        cm = tuple(m[None] for m in cm)
     y = deblock_tiles_pallas(tf.y, *lm, beta, tc, chroma=False,
                              block_by=lb[0], block_bx=lb[1])
     if luma_only:
@@ -206,17 +217,30 @@ class ResidentDeblocker:
 
     # -- pipeline boundaries --------------------------------------------------
 
+    def _host_buf(self, frame) -> np.ndarray:
+        arr = (np.frombuffer(frame, np.uint8)
+               if isinstance(frame, (bytes, bytearray))
+               else np.asarray(frame, np.uint8))
+        if arr.ndim > 1:  # already a frame batch
+            arr = arr.reshape(arr.shape[0], -1)
+        if arr.shape[-1] != self.frame_bytes:
+            raise ValueError(
+                f"frame must be {self.frame_bytes} bytes, got {arr.shape[-1]}")
+        return arr
+
     def ingest(self, frame) -> TileFrame:
-        """Host frame (bytes / uint8 buffer) -> device TileFrame.  Accepts an
-        already-device-resident packed buffer too (skips the H2D)."""
+        """Host frame(s) -> device TileFrame.  Accepts one packed frame
+        (bytes / uint8 buffer), a BATCH of frames (list/tuple of frames, or
+        an (n, 3wh/2)-shaped array -- the batch runs through the kernels as
+        one launch), or an already-device-resident packed buffer (skips the
+        H2D)."""
         if isinstance(frame, jax.Array):
             buf = frame
         else:
-            arr = (np.frombuffer(frame, np.uint8)
-                   if isinstance(frame, (bytes, bytearray))
-                   else np.asarray(frame, np.uint8).ravel())
-            if arr.size != self.frame_bytes:
-                raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
+            if isinstance(frame, (list, tuple)):
+                arr = np.stack([self._host_buf(f) for f in frame])
+            else:
+                arr = self._host_buf(frame)
             buf = jax.device_put(arr)
         return _ingest(buf, self.width, self.height, self._lb, self._cb,
                        self._yperm_f)

@@ -143,3 +143,43 @@ def test_resident_rejects_bad_size(rng):
     rd = ResidentDeblocker(64, 48, qp=35)
     with pytest.raises(ValueError):
         rd.ingest(np.zeros(10, np.uint8))
+
+
+@pytest.mark.parametrize("w,h", [
+    (64, 48),
+    pytest.param(56, 72, marks=pytest.mark.slow),  # Q9-sheared chroma
+])
+def test_resident_batched_frames(rng, w, h):
+    """A frame batch runs through the kernels as one launch (batch = the
+    outermost grid dimension, one shared BS map) and must equal per-frame
+    processing bit-for-bit, incl. sheared Q9 geometries."""
+    raws = [_raw(rng, w, h) for _ in range(3)]
+    rd = ResidentDeblocker(w, h, qp=35)
+    out = rd(raws)
+    assert out.shape == (3, 3 * w * h // 2)
+    for i, raw in enumerate(raws):
+        assert np.array_equal(out[i], _golden_packed(raw, w, h, 35)), i
+
+
+def test_resident_batched_array_input(rng):
+    """(n, 3wh/2) ndarray input batches identically to a list of frames."""
+    w, h = 64, 48
+    raws = np.stack([_raw(rng, w, h) for _ in range(2)])
+    rd = ResidentDeblocker(w, h, qp=35)
+    assert np.array_equal(rd(raws), rd(list(raws)))
+
+
+def test_resident_batched_chained_steps(rng):
+    """Chained steps on a batched TileFrame == chained steps per frame."""
+    w, h = 64, 48
+    raws = [_raw(rng, w, h) for _ in range(2)]
+    rd = ResidentDeblocker(w, h, qp=35)
+    st = rd.ingest(raws)
+    for _ in range(2):
+        st = rd.step(st)
+    batched = rd.readback(st)
+    for i, raw in enumerate(raws):
+        s = rd.ingest(raw)
+        for _ in range(2):
+            s = rd.step(s)
+        assert np.array_equal(batched[i], rd.readback(s)), i
