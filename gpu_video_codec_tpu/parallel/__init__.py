@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     make_mesh,
 )
 from .multistream import MultiStreamDeblocker  # noqa: F401
+from .resident_mesh import MeshResidentDeblocker  # noqa: F401

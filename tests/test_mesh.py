@@ -149,3 +149,61 @@ def test_sharded_q9_geometry(rng):
         assert np.array_equal(np.asarray(yo[i]), gold.y), i
         assert np.array_equal(np.asarray(uo[i]), gold.u), i
         assert np.array_equal(np.asarray(vo[i]), gold.v), i
+
+
+class TestMeshResident:
+    """Mesh-sharded device-resident streaming (parallel/resident_mesh.py):
+    the batched TileFrame's frame axis shards over "data"; each device runs
+    the batched fused kernels locally (zero collectives)."""
+
+    def _golden_packed(self, raw, w, h, qp):
+        from gpu_video_codec_tpu.utils.yuv import (
+            planes_from_yv12_bytes, yv12_bytes_from_planes,
+        )
+
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        out = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), qp)
+        return np.frombuffer(yv12_bytes_from_planes(out), np.uint8)
+
+    @pytest.mark.parametrize("w,h", [
+        (64, 48),
+        pytest.param(56, 72, marks=pytest.mark.slow),  # Q9-sheared chroma
+    ])
+    def test_matches_golden(self, rng, w, h):
+        from gpu_video_codec_tpu.parallel import MeshResidentDeblocker
+
+        mesh = make_mesh(4, 2)
+        raws = [rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+                for _ in range(8)]
+        mrd = MeshResidentDeblocker(mesh, w, h, qp=35)
+        out = mrd(raws)
+        assert out.shape == (8, 3 * w * h // 2)
+        for i, raw in enumerate(raws):
+            assert np.array_equal(out[i], self._golden_packed(raw, w, h, 35)), i
+
+    def test_chained_steps_match_single_chip(self, rng):
+        from gpu_video_codec_tpu.models.resident import ResidentDeblocker
+        from gpu_video_codec_tpu.parallel import MeshResidentDeblocker
+
+        w, h = 64, 48
+        mesh = make_mesh(8, 1)
+        raws = [rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+                for _ in range(8)]
+        mrd = MeshResidentDeblocker(mesh, w, h, qp=35)
+        out = mrd.readback(mrd.step(mrd.ingest(raws), n_steps=3))
+
+        rd = ResidentDeblocker(w, h, qp=35)
+        for i, raw in enumerate(raws):
+            st = rd.ingest(raw)
+            for _ in range(3):
+                st = rd.step(st)
+            assert np.array_equal(out[i], rd.readback(st)), i
+
+    def test_batch_not_divisible_raises(self, rng):
+        from gpu_video_codec_tpu.parallel import MeshResidentDeblocker
+
+        mrd = MeshResidentDeblocker(make_mesh(8, 1), 64, 48, qp=35)
+        raws = [rng.integers(0, 256, 3 * 64 * 48 // 2, dtype=np.uint8)
+                for _ in range(5)]
+        with pytest.raises(ValueError):
+            mrd.ingest(raws)
