@@ -163,6 +163,38 @@ def _perm_np(w: int, inverse: bool):
     return p
 
 
+# Block-diagonal split of the one-hot relayout for LARGE widths: the full
+# perm's dot does O(Wext) MACs per pixel; slicing the extended width into K
+# 8-aligned slices with one shared square (S, S) per-slice perm cuts that to
+# O(S), and the K axis lands exactly where the de-interleaved layout wants it
+# (t_global = k * bxh + t_local), so only the reshape pattern changes.
+# Device-trace measured at 4K luma (Wext_grid 4096, K=4): forward 248 -> 178
+# us, inverse 248 -> 135 us; at 1080p (1984) every K LOSES to the full perm
+# (the per-slice reorder chunks get too small), hence the >= 4096 threshold.
+_SPLIT_MIN_WEXT = 4096
+_SPLIT_TARGET_S = 1024
+
+
+def _split_k(wext_grid: int) -> int:
+    """Number of relayout slices for a grid-padded extended width (1 = use
+    the full-width perm).  GVCT_RELAYOUT_SPLIT=<k> forces a value (0 = auto);
+    split requires s8 mode (the bf16 engine keeps the full perm)."""
+    forced = os.environ.get("GVCT_RELAYOUT_SPLIT")
+    if forced is not None and int(forced) > 0:
+        k = int(forced)
+        return k if (wext_grid // SAMPLE_BLOCK_SIZE) % k == 0 else 1
+    if (os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") == "bf16"
+            or wext_grid < _SPLIT_MIN_WEXT):
+        return 1
+    bxg = wext_grid // SAMPLE_BLOCK_SIZE
+    k = max(1, wext_grid // _SPLIT_TARGET_S)
+    while k > 1 and bxg % k:
+        k -= 1
+    return k
+
+
+
+
 def _mxu_eligible(x) -> bool:
     mode = os.environ.get("GVCT_RELAYOUT", "auto")
     if mode == "transpose":
@@ -238,12 +270,19 @@ def _perm_np_interior(w: int, pad: int, inverse: bool, bx_grid: int | None = Non
 def tile_perm_device(w: int, pad: int, inverse: bool, bx_grid: int | None = None):
     """The one-hot relayout operands as DEVICE arrays: (mat, bias) --
     int8 matrix + int32 add-back bias (s8 mode, default) or bfloat16 matrix
-    + None (GVCT_RELAYOUT_DTYPE=bf16).
+    + None (GVCT_RELAYOUT_DTYPE=bf16).  For large widths the operand is the
+    shared square (S, S) per-slice perm of the block-diagonal split engine
+    (_split_k policy); the engines detect the mode from the matrix shape.
 
     Pass this into interior_to_tiles/tiles_to_interior via perm= when the
     call sits inside a jit that runs per frame: as a closure/trace constant
     XLA regenerates the (multi-MB) matrix on device every step; as an
     argument it lives in HBM once."""
+    b = SAMPLE_BLOCK_SIZE
+    bxg = (w + 2 * pad) // b if bx_grid is None else bx_grid
+    k = _split_k(b * bxg)
+    if k > 1:
+        return _perm_device(_perm_np(b * bxg // k, inverse))
     return _perm_device(_perm_np_interior(w, pad, inverse, bx_grid))
 
 
@@ -292,7 +331,23 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
     import jax.numpy as jnp
 
     if perm is None:
-        perm = _perm_device(_perm_np_interior(w, pad, False, bxg))
+        perm = tile_perm_device(w, pad, False, bxg)
+    mat = perm[0]
+    # split engine = square slice perm; the full fwd perm (w, 8*bxg) is
+    # never square (the extended grid width always exceeds the interior)
+    if mat.shape[0] == mat.shape[1]:
+        s = mat.shape[0]
+        k, bxh = b * bxg // s, s // b
+        # explicit zero column padding (the rectangular full perm folds it;
+        # the split perm is square, so pad first -- still exact: (0-128)
+        # selected + bias 128 = 0)
+        rows = jnp.pad(plane, [(0, 0)] * n
+                       + [(pad, bot), (pad, b * bxg - pad - w)])
+        o = _onehot_dot(rows.reshape(*lead, b * byg, k, s), perm, n + 1)
+        o = o.reshape(*lead, byg, b, k, b, bxh)
+        # (.., By, r, k, c, bxh) -> (.., r, c, By, [k, bxh]=Bx)
+        o = o.transpose(*range(n), n + 1, n + 3, n + 0, n + 2, n + 4)
+        return o.reshape(*lead, b, b, byg, bxg).astype(jnp.uint8)
     # zero row padding is exact under the s8 engine too: (0-128) selected
     # -> -128 + bias 128 = 0, and unselected columns get bias 0
     rows = jnp.pad(plane, [(0, 0)] * n + [(pad, bot), (0, 0)])
@@ -320,7 +375,21 @@ def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
     import jax.numpy as jnp
 
     if perm is None:
-        perm = _perm_device(_perm_np_interior(w, pad, True, bxg))
+        perm = tile_perm_device(w, pad, True, bxg)
+    mat = perm[0]
+    # split engine = square slice perm; the full inverse perm (8*bxg, w) is
+    # never square (the extended grid width always exceeds the interior)
+    if mat.shape[0] == mat.shape[1]:
+        s = mat.shape[0]
+        k, bxh = b * bxg // s, s // b
+        o = tiles[..., :by, :].reshape(*lead, b, b, by, k, bxh)
+        # (.., r, c, By, k, bxh) -> (.., By, r, k, [c, bxh]=S)
+        o = o.transpose(*range(n), n + 2, n + 0, n + 3, n + 1, n + 4)
+        o = o.reshape(*lead, by * b, k, s)
+        o = o[..., pad : pad + h, :, :]  # interior rows BEFORE the dot
+        o = _onehot_dot(o, perm, n + 1)
+        o = o.reshape(*lead, h, b * bxg)
+        return o[..., :, pad : pad + w].astype(jnp.uint8)
     o = tiles[..., :by, :].transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
     o = o.reshape(*lead, by * b, b * bxg)
     o = o[..., pad : pad + h, :]  # interior rows BEFORE the dot
