@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bench", action="store_true",
                    help="add a per-frame timing breakdown to the JSON result "
                         "(kernel vs copy on device backends, filter time on host backends)")
+    p.add_argument("--batch", type=int,
+                   help="process N frames per fused-kernel launch via the "
+                        "device-resident pipeline (models/resident.py); "
+                        "best throughput for small frames")
     p.add_argument("--streams", type=int,
                    help="treat INPUT as N concatenated streams processed "
                         "concurrently over a device mesh (multi-stream mode)")
@@ -158,6 +162,55 @@ def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -
         "frames": done, "streams": n_streams,
         "mesh": {"data": n_data, "spatial": n_spatial},
         "backend": cfg.backend, "qp": cfg.qp,
+        "seconds": dt, "fps": done / dt,
+    }
+
+
+def run_batched(cfg: DeblockConfig, batch: int) -> dict:
+    """Batched device-resident mode: N frames per fused-kernel launch
+    (the batch is the kernels' outermost grid dimension).  A short tail
+    group runs as its own (smaller) batch."""
+    import os
+
+    import numpy as np
+
+    from .models.resident import ResidentDeblocker
+
+    if batch < 1:
+        raise ValueError(f"--batch must be >= 1, got {batch}")
+    rd = ResidentDeblocker(cfg.width, cfg.height, cfg.qp, luma_only=cfg.luma_only)
+    frame_bytes = rd.frame_bytes
+    n_avail = os.path.getsize(cfg.input) // frame_bytes
+    if n_avail == 0:
+        raise ValueError(f"no complete {cfg.width}x{cfg.height} frames in {cfg.input}")
+    n = n_avail if cfg.frames is None else min(cfg.frames, n_avail)
+
+    sink = open(cfg.output, "wb") if cfg.output else None
+    done = 0
+    try:
+        t0 = time.perf_counter()
+        group: list[bytes] = []
+
+        def flush(group):
+            out = rd(np.stack([np.frombuffer(g, np.uint8) for g in group]))
+            if sink is not None:
+                sink.write(out.tobytes())
+            return len(group)
+
+        for raw in _raw_frames(cfg.input, frame_bytes, n):
+            group.append(raw)
+            if len(group) == batch:
+                done += flush(group)
+                group = []
+        if group:
+            done += flush(group)
+        dt = time.perf_counter() - t0
+    finally:
+        if sink is not None:
+            sink.close()
+    return {
+        "frames": done, "batch": batch, "mode": "resident",
+        "backend": "pallas", "qp": cfg.qp,
         "seconds": dt, "fps": done / dt,
     }
 
@@ -245,6 +298,8 @@ def main(argv: list[str] | None = None) -> int:
         ).validate()
         if args.streams:
             result = run_multistream(cfg, args.streams, args.mesh)
+        elif args.batch:
+            result = run_batched(cfg, args.batch)
         else:
             result = run(cfg, bench=args.bench)
     except (ValueError, FileNotFoundError) as e:

@@ -140,3 +140,28 @@ def test_cli_invalid_option_values(tmp_path, capsys):
     f.write_bytes(b"\0" * (3 * 64 * 48 // 2))
     assert main(["-i", str(f), "-W", "64", "-H", "48", "--frames", "0"]) == 1
     assert main(["-i", str(f), "-W", "64", "-H", "48", "--depth", "-1"]) == 1
+
+
+def test_cli_batched_resident_mode(tmp_path, rng, capsys):
+    """--batch N: batched device-resident pipeline, incl. a short tail
+    group; output must equal the golden oracle frame-for-frame."""
+    w, h, qp, nf = 64, 48, 35, 5
+    frame_bytes = 3 * w * h // 2
+    raws = [rng.integers(0, 256, frame_bytes, dtype=np.uint8) for _ in range(nf)]
+    inp = str(tmp_path / "in.yuv")
+    with open(inp, "wb") as f:
+        for r in raws:
+            f.write(r.tobytes())
+    out = str(tmp_path / "out.yuv")
+    rc = main(["--input", inp, "-W", str(w), "-H", str(h), "--qp", str(qp),
+               "--output", out, "--batch", "2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["frames"] == nf and res["mode"] == "resident" and res["batch"] == 2
+    got = np.fromfile(out, np.uint8).reshape(nf, frame_bytes)
+    from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes
+
+    for i, raw in enumerate(raws):
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), qp)
+        assert np.array_equal(got[i], np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)), i
