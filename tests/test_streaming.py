@@ -122,3 +122,23 @@ def test_run_frames_wrapper(rng):
             oa = getattr(o, name)
             hh, ww = ga.shape[0] - 8, ga.shape[1] - 8
             assert np.array_equal(interior(ga, hh, ww), interior(oa, hh, ww)), name
+
+
+def test_streaming_luma_only_pallas(rng):
+    """Pallas packed path with luma_only: chroma passes through untouched,
+    luma equals the golden luma-only filter."""
+    from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+    from gpu_video_codec_tpu.utils.yuv import (
+        planes_from_yv12_bytes, yv12_bytes_from_planes,
+    )
+
+    w, h = 64, 48
+    raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+    s = StreamingDeblocker(w, h, 35, backend="pallas", luma_only=True)
+    (out,) = list(s.run([raw]))
+    frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+    gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), 35,
+                                luma_only=True)
+    assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+    assert np.array_equal(out[w * h :], raw[w * h :])  # chroma untouched
