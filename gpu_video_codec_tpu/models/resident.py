@@ -78,22 +78,22 @@ def _effective_block(block: tuple[int, int], by: int, bx: int) -> tuple[int, int
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "lb", "cb"))
-def _ingest(buf, w, h, lb, cb, yperm=None):
+def _ingest(buf, w, h, lb, cb, yperm=None, cperm=None):
     """Packed YV12 uint8 (.., 3wh/2) -> TileFrame, one relayout pass.
 
     A leading batch axis carries through every field (the fused kernels run
     the batch as a grid dimension).  Luma goes interior -> grid-padded
     tile-planes directly (the Q6 zero padding AND the Pallas grid padding
-    fold into the relayout matmul, utils.tiles.interior_to_tiles); chroma
-    keeps explicit extended planes because the Q9 flat view is defined on
-    the padded buffer."""
+    fold into the relayout matmul, utils.tiles.interior_to_tiles).  Chroma
+    does the same whenever cperm is given (the non-sheared Q9 case: the
+    covered flat view IS the extended plane, and U+V batch through one
+    relayout dot); sheared geometries keep explicit extended planes with
+    the covered split, because the Q9 flat view is defined on the padded
+    buffer."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     lead = buf.shape[:-1]
     n = len(lead)
-    cpad = [(0, 0)] * n + [(p, p), (p, p)]
-    u = jnp.pad(buf[..., w * h : w * h + cw * ch].reshape(*lead, ch, cw), cpad)
-    v = jnp.pad(buf[..., w * h + cw * ch :].reshape(*lead, ch, cw), cpad)
 
     by, bx = (h + 2 * p) // _B, (w + 2 * p) // _B
     eby, ebx = _effective_block(lb, by, bx)
@@ -101,6 +101,19 @@ def _ingest(buf, w, h, lb, cb, yperm=None):
                            by_grid=-(-by // eby) * eby,
                            bx_grid=-(-bx // ebx) * ebx)
 
+    if cperm is not None:
+        cby, cbx = (ch + 2 * p) // _B, (cw + 2 * p) // _B
+        t = interior_to_tiles(buf[..., w * h :].reshape(*lead, 2, ch, cw),
+                              p, perm=cperm)   # (.., 2, 8, 8, cby, cbx)
+        t = jnp.moveaxis(t, n, n + 2)          # (.., 8, 8, 2, cby, cbx)
+        uv = t.reshape(*lead, _B, _B, 2 * cby, cbx)
+        rem = jnp.zeros((*lead, 0), jnp.uint8)
+        uv = _pad_to(uv, *_effective_block(cb, uv.shape[-2], uv.shape[-1]))
+        return TileFrame(yt, uv, rem, rem)
+
+    cpad = [(0, 0)] * n + [(p, p), (p, p)]
+    u = jnp.pad(buf[..., w * h : w * h + cw * ch].reshape(*lead, ch, cw), cpad)
+    v = jnp.pad(buf[..., w * h + cw * ch :].reshape(*lead, ch, cw), cpad)
     u_core, u_rem = split_covered_data(u)
     v_core, v_rem = split_covered_data(v)
     uv = jnp.concatenate([plane_to_tiles(u_core), plane_to_tiles(v_core)], axis=-2)
@@ -109,7 +122,7 @@ def _ingest(buf, w, h, lb, cb, yperm=None):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h"))
-def _readback(tf: TileFrame, w, h, yperm=None):
+def _readback(tf: TileFrame, w, h, yperm=None, cperm=None):
     """TileFrame -> filtered packed YV12 uint8 (.., 3wh/2), one relayout pass."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
@@ -117,8 +130,17 @@ def _readback(tf: TileFrame, w, h, yperm=None):
     # covered chroma grid dims (truncating division, Q9 / cpu.h:450-451)
     cby, cbx = chext // _B, cwext // _B
     lead = tf.y.shape[:-4]
+    n = len(lead)
 
     y_int = tiles_to_interior(tf.y, p, h, w, perm=yperm)
+    if cperm is not None:  # fused non-sheared chroma (see _ingest)
+        t = tf.uv[..., : 2 * cby, :cbx].reshape(*lead, _B, _B, 2, cby, cbx)
+        t = jnp.moveaxis(t, n + 2, n)          # (.., 2, 8, 8, cby, cbx)
+        uv_int = tiles_to_interior(t, p, ch, cw, perm=cperm)
+        return jnp.concatenate([
+            y_int.reshape(*lead, h * w),
+            uv_int.reshape(*lead, 2 * ch * cw),
+        ], axis=-1)
     u_core = tiles_to_plane(tf.uv[..., :cby, :cbx])
     v_core = tiles_to_plane(tf.uv[..., cby : 2 * cby, :cbx])
     u = join_covered(u_core, tf.u_rem, chext, cwext, jnp)
@@ -205,6 +227,13 @@ class ResidentDeblocker:
         bxg = -(-bx // self._lb[1]) * self._lb[1]
         self._yperm_f = tile_perm_device(width, p, False, bxg)
         self._yperm_i = tile_perm_device(width, p, True, bxg)
+        cw = width // 2
+        if (cw + 2 * p) % _B == 0:
+            # non-sheared Q9: chroma rides the fused relayout too
+            self._cperm_f = tile_perm_device(cw, p, False)
+            self._cperm_i = tile_perm_device(cw, p, True)
+        else:
+            self._cperm_f = self._cperm_i = None
 
         bs = bs or BoundaryStrength.intra_default(width, height)
         lm = luma_segment_maps(bs)
@@ -243,7 +272,7 @@ class ResidentDeblocker:
                 arr = self._host_buf(frame)
             buf = jax.device_put(arr)
         return _ingest(buf, self.width, self.height, self._lb, self._cb,
-                       self._yperm_f)
+                       self._yperm_f, self._cperm_f)
 
     def step(self, tf: TileFrame) -> TileFrame:
         """Kernel-only deblock of a resident frame (the steady state)."""
@@ -259,7 +288,7 @@ class ResidentDeblocker:
     def readback(self, tf: TileFrame) -> np.ndarray:
         """Device TileFrame -> filtered packed YV12 on the host."""
         return jax.device_get(_readback(tf, self.width, self.height,
-                                        self._yperm_i))
+                                        self._yperm_i, self._cperm_i))
 
     def __call__(self, frame) -> np.ndarray:
         return self.readback(self.step(self.ingest(frame)))

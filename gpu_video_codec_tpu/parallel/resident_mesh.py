@@ -107,6 +107,7 @@ class MeshResidentDeblocker:
         rd._lm, rd._cm = put(rd._lm), put(rd._cm)
         rd._beta, rd._tc = put(rd._beta), put(rd._tc)
         rd._yperm_f, rd._yperm_i = put(rd._yperm_f), put(rd._yperm_i)
+        rd._cperm_f, rd._cperm_i = put(rd._cperm_f), put(rd._cperm_i)
 
     def ingest(self, frames) -> TileFrame:
         """Host frame batch -> mesh-sharded TileFrame.
@@ -129,7 +130,8 @@ class MeshResidentDeblocker:
                 f"batch {buf.shape[0]} not divisible by data axis {self.n_data}")
         # the relayout graph is per-frame elementwise over the batch, so the
         # GSPMD partitioner keeps the batch sharding end to end
-        return _ingest(buf, rd.width, rd.height, rd._lb, rd._cb, rd._yperm_f)
+        return _ingest(buf, rd.width, rd.height, rd._lb, rd._cb,
+                       rd._yperm_f, rd._cperm_f)
 
     def step(self, tf: TileFrame, n_steps: int = 1) -> TileFrame:
         """n_steps kernel-only deblock passes on every chip in parallel."""
@@ -140,7 +142,8 @@ class MeshResidentDeblocker:
     def readback(self, tf: TileFrame) -> np.ndarray:
         """Mesh-sharded TileFrame -> (n, 3wh/2) filtered batch on the host."""
         rd = self._rd
-        return jax.device_get(_readback(tf, rd.width, rd.height, rd._yperm_i))
+        return jax.device_get(_readback(tf, rd.width, rd.height,
+                                        rd._yperm_i, rd._cperm_i))
 
     def __call__(self, frames) -> np.ndarray:
         return self.readback(self.step(self.ingest(frames)))
