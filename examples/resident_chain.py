@@ -1,6 +1,6 @@
 """Device-resident pipelines: frames stay on device in the canonical
 tile-planes layout between stages, so each deblock step costs ONLY the
-fused kernels (34 us at 1080p on a v5e; docs/PERF.md).  Also shows frame
+fused kernels (28.6 us at 1080p on a v5e; docs/PERF.md).  Also shows frame
 batching -- N frames per kernel launch.
 
     JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu python examples/resident_chain.py

@@ -51,8 +51,11 @@ def _asr(x, n: int):
 
 
 def _iabs(x):
-    """|x| as max(x, -x): Mosaic has no absi for int16 vectors, and the
-    magnitudes here never approach the dtype minimum."""
+    """|x|: native abs for int32 (one VPU op); max(x, -x) for int16, where
+    Mosaic has no vector absi.  Magnitudes here never approach the dtype
+    minimum, so both forms are exact."""
+    if x.dtype == jnp.int32:
+        return jnp.abs(x)
     return jnp.maximum(x, -x)
 
 
@@ -86,10 +89,13 @@ def luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=jnp.int32):
     dp0, dp3 = _second_deriv(p[0]), _second_deriv(p[3])
     dq0, dq3 = _second_deriv(q[0]), _second_deriv(q[3])
 
-    cond1 = (dp0 + dp3 + dq0 + dq3) < _thr(beta, dtype)
+    # pair sums shared between cond1 and cond2 (associativity is exact here:
+    # magnitudes stay far below the dtype range)
+    pq0, pq3 = dp0 + dq0, dp3 + dq3
+    cond1 = (pq0 + pq3) < _thr(beta, dtype)
 
     beta8 = _thr(beta // 8, dtype)
-    cond2 = ((dp0 + dq0) < beta8) & ((dp3 + dq3) < beta8)            # cpu.h:1099-1100
+    cond2 = (pq0 < beta8) & (pq3 < beta8)                            # cpu.h:1099-1100
     cond3 = ((_iabs(p[0][3] - p[0][0]) + _iabs(q[0][0] - q[0][3])) < beta8) & (
         (_iabs(p[3][3] - p[3][0]) + _iabs(q[3][0] - q[3][3])) < beta8
     )                                                                 # cpu.h:1104-1105
@@ -113,13 +119,15 @@ def luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=jnp.int32):
         p0, p1, p2, p3 = p[r]
         q0, q1, q2, q3 = q[r]
 
-        # strong filter deltas (cpu.h:1152-1199)
+        # strong filter deltas (cpu.h:1152-1199); tpq = p0 + q0 is shared by
+        # four of the six (exact: integer + is associative at these magnitudes)
+        tpq = p0 + q0
         s0p = _clip1(_asr(p2 + 2 * p1 - 6 * p0 + 2 * q0 + q1 + 4, 3), c)
-        s1p = _clip1(_asr(p2 - 3 * p1 + p0 + q0 + 2, 2), c)
-        s2p = _clip1(_asr(2 * p3 - 5 * p2 + p1 + p0 + q0 + 4, 3), c)
+        s1p = _clip1(_asr(p2 - 3 * p1 + tpq + 2, 2), c)
+        s2p = _clip1(_asr(2 * p3 - 5 * p2 + p1 + tpq + 4, 3), c)
         s0q = _clip1(_asr(q2 + 2 * q1 - 6 * q0 + 2 * p0 + p1 + 4, 3), c)
-        s1q = _clip1(_asr(q2 - 3 * q1 + q0 + p0 + 2, 2), c)
-        s2q = _clip1(_asr(2 * q3 - 5 * q2 + q1 + q0 + p0 + 4, 3), c)
+        s1q = _clip1(_asr(q2 - 3 * q1 + tpq + 2, 2), c)
+        s2q = _clip1(_asr(2 * q3 - 5 * q2 + q1 + tpq + 4, 3), c)
 
         # normal filter (cpu.h:1252-1275): per-row |delta0| gate
         delta0 = _asr(9 * (q0 - p0) - 3 * (q1 - p1) + 8, 4)
@@ -129,17 +137,22 @@ def luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=jnp.int32):
         dq1 = _clip1(_asr(_asr(q2 + q0 + 1, 1) - q1 - big_d, 1), c2)
 
         nrow = use_normal & row_gate
-        new_p[r][0] = jnp.where(use_strong, _clip2(p0 + s0p),
-                                jnp.where(nrow, _clip2(p0 + big_d), p0))
-        new_p[r][1] = jnp.where(use_strong, _clip2(p1 + s1p),
-                                jnp.where(nrow & cond5, _clip2(p1 + dp1), p1))
-        new_p[r][2] = jnp.where(use_strong, _clip2(p2 + s2p), p2)
+        # select the DELTA (0 where no filter applies), then one add + one
+        # clip2 per output: clip2(x + 0) == x for valid pixels (inputs are
+        # uint8-range by construction), so this equals the reference's
+        # per-branch clip2 writes bit-for-bit with ~1/3 fewer select ops
+        zero = _thr(0, dtype)
+        new_p[r][0] = _clip2(p0 + jnp.where(use_strong, s0p,
+                                            jnp.where(nrow, big_d, zero)))
+        new_p[r][1] = _clip2(p1 + jnp.where(use_strong, s1p,
+                                            jnp.where(nrow & cond5, dp1, zero)))
+        new_p[r][2] = _clip2(p2 + jnp.where(use_strong, s2p, zero))
         new_p[r][3] = p3
-        new_q[r][0] = jnp.where(use_strong, _clip2(q0 + s0q),
-                                jnp.where(nrow, _clip2(q0 - big_d), q0))
-        new_q[r][1] = jnp.where(use_strong, _clip2(q1 + s1q),
-                                jnp.where(nrow & cond6, _clip2(q1 + dq1), q1))
-        new_q[r][2] = jnp.where(use_strong, _clip2(q2 + s2q), q2)
+        new_q[r][0] = _clip2(q0 + jnp.where(use_strong, s0q,
+                                            jnp.where(nrow, -big_d, zero)))
+        new_q[r][1] = _clip2(q1 + jnp.where(use_strong, s1q,
+                                            jnp.where(nrow & cond6, dq1, zero)))
+        new_q[r][2] = _clip2(q2 + jnp.where(use_strong, s2q, zero))
         new_q[r][3] = q3
     return new_p, new_q
 
@@ -154,6 +167,7 @@ def chroma_edge_filter_planes(p, q, bs_mask, tc, dtype=jnp.int32):
     *subtracted*, cpu.h:1453-1461, 1475-1476) is replicated exactly.
     """
     tc_v = _thr(tc, dtype)
+    zero = _thr(0, dtype)
     new_p = [[None, p[r][1]] for r in range(4)]
     new_q = [[None, q[r][1]] for r in range(4)]
     for r in range(4):
@@ -161,8 +175,9 @@ def chroma_edge_filter_planes(p, q, bs_mask, tc, dtype=jnp.int32):
         q0, q1 = q[r]
         dp = _clip1(_asr(4 * (p0 - q0) + p1 - q1 + 4, 3), tc_v)  # cpu.h:1453, 1464
         dq = _clip1(_asr(4 * (q0 - p0) + q1 - p1 + 4, 3), tc_v)  # cpu.h:1458, 1469
-        new_p[r][0] = jnp.where(bs_mask, _clip2(p0 + dp), p0)    # cpu.h:1475
-        new_q[r][0] = jnp.where(bs_mask, _clip2(q0 - dq), q0)    # cpu.h:1476
+        # delta-select form: clip2(x + 0) == x for valid pixels (cpu.h:1475-1476)
+        new_p[r][0] = _clip2(p0 + jnp.where(bs_mask, dp, zero))
+        new_q[r][0] = _clip2(q0 - jnp.where(bs_mask, dq, zero))
     return new_p, new_q
 
 

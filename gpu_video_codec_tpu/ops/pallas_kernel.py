@@ -45,9 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .deblock import deblock_planes_core
 from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
 
-# (sublane, lane) block over the tile grid: 8 x 128 tiles per grid cell.
+# (sublane, lane) block over the tile grid, clamped per-geometry by
+# deblock_tiles_pallas's adaptive tail logic.  256 lanes: device-trace
+# autotune at 1080p ranks 8x248 (the 1080p clamp of 8x256) ~3.5% ahead of
+# 8x128 AND it pads the 1080p grid to 248 instead of 256 tile columns
+# (less HBM traffic); small frames clamp to their grid size either way.
 BLOCK_BY = 8
-BLOCK_BX = 128
+BLOCK_BX = 256
 
 
 def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *,
