@@ -235,7 +235,12 @@ class ResidentDeblocker:
         else:
             self._cperm_f = self._cperm_i = None
 
-        bs = bs or BoundaryStrength.intra_default(width, height)
+        self.update_boundary_strength(
+            bs or BoundaryStrength.intra_default(width, height))
+
+    def update_boundary_strength(self, bs: BoundaryStrength) -> None:
+        """Swap in new BS arrays (the SetBoundaryStrenght story, cpu.h:120-132)
+        without recompiling: the padded segment maps are step arguments."""
         lm = luma_segment_maps(bs)
         cm = chroma_segment_maps(bs)
         # pad maps once to the padded grid; padding tiles get BS = 0 (no-op)

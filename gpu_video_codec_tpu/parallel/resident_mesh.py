@@ -102,12 +102,19 @@ class MeshResidentDeblocker:
         # over the mesh: arrays committed to one device can't mix with
         # mesh-sharded args in a jitted computation
         rep = NamedSharding(mesh, P())
-        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, rep), t)
+        self._put_rep = put = (
+            lambda t: jax.tree.map(lambda a: jax.device_put(a, rep), t))
         rd = self._rd
         rd._lm, rd._cm = put(rd._lm), put(rd._cm)
         rd._beta, rd._tc = put(rd._beta), put(rd._tc)
         rd._yperm_f, rd._yperm_i = put(rd._yperm_f), put(rd._yperm_i)
         rd._cperm_f, rd._cperm_i = put(rd._cperm_f), put(rd._cperm_i)
+
+    def update_boundary_strength(self, bs: BoundaryStrength) -> None:
+        """Swap in new BS arrays mesh-wide (no recompile; maps are step args)."""
+        rd = self._rd
+        rd.update_boundary_strength(bs)
+        rd._lm, rd._cm = self._put_rep(rd._lm), self._put_rep(rd._cm)
 
     def ingest(self, frames) -> TileFrame:
         """Host frame batch -> mesh-sharded TileFrame.

@@ -183,3 +183,17 @@ def test_resident_batched_chained_steps(rng):
         for _ in range(2):
             s = rd.step(s)
         assert np.array_equal(batched[i], rd.readback(s)), i
+
+
+def test_resident_update_boundary_strength(rng):
+    """update_boundary_strength swaps BS without recompiling and matches a
+    fresh instance built with the same BS (SetBoundaryStrenght parity)."""
+    w, h, qp = 64, 48, 35
+    raw = _raw(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+                rng.integers(0, 3, bs.hor.size, dtype=np.uint8))
+    rd = ResidentDeblocker(w, h, qp)           # default BS first
+    assert np.array_equal(rd(raw), _golden_packed(raw, w, h, qp))
+    rd.update_boundary_strength(bs)
+    assert np.array_equal(rd(raw), _golden_packed(raw, w, h, qp, bs=bs))
