@@ -75,8 +75,11 @@ def test_batch_not_divisible_raises(rng):
                                   32, 4)
 
 
-@pytest.mark.parametrize("n", [1, 8, pytest.param(2, marks=pytest.mark.slow),
-                               pytest.param(4, marks=pytest.mark.slow)])
+# slow: each count re-imports jax in a fresh subprocess (~40 s on this
+# single-core host); the driver-shaped invocation below stays in the default
+# tier and mesh-shape coverage lives in test_sharded_matches_golden
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
 def test_dryrun_multichip_various_counts(n, monkeypatch):
     """The driver may invoke dryrun_multichip with any virtual device count
     <= available; it must work for every factorization.  Default suite keeps
