@@ -118,7 +118,7 @@ def ExecuteCpu(input_file: str, output_file: str, width: int, height: int,
 
 
 def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
-               Qp: int, luma_block=(8, 128), chroma_block=(8, 128)) -> dict:
+               Qp: int, luma_block=None, chroma_block=None) -> dict:
     """Reference ExecuteGpu parity (gpu.cu:1230-1306): fused-kernel filter
     with caller-chosen per-plane block dims, timing the copy and kernel
     separately like the original's 'with copy' / 'without copy' split.
@@ -132,12 +132,13 @@ def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
                    (gpu.cu:1246-1303), not a sum of separately-timed parts.
     """
     from .models.streaming import StreamingDeblocker
+    from .ops.pallas_kernel import BLOCK_BX, BLOCK_BY
 
     with open(input_file, "rb") as f:
         raw = f.read(3 * width * height // 2)
     s = StreamingDeblocker(width, height, Qp, backend="pallas",
-                           luma_block=tuple(luma_block),
-                           chroma_block=tuple(chroma_block))
+                           luma_block=tuple(luma_block or (BLOCK_BY, BLOCK_BX)),
+                           chroma_block=tuple(chroma_block or (BLOCK_BY, BLOCK_BX)))
     (out,) = list(s.run([raw]))
     with open(output_file, "wb") as f:
         f.write(out.tobytes())

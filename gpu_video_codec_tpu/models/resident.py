@@ -72,9 +72,12 @@ class TileFrame(NamedTuple):
 
 
 def _effective_block(block: tuple[int, int], by: int, bx: int) -> tuple[int, int]:
-    """Mirror deblock_tiles_pallas's adaptive block clamp so ingest can pad
-    the grid to exactly the multiples the kernel will use."""
-    return (min(block[0], -(-by // 8) * 8), min(block[1], -(-bx // 8) * 8))
+    """Mirror deblock_tiles_pallas's adaptive block clamp (incl. its cheap
+    lane alignment) so ingest can pad the grid to exactly the multiples the
+    kernel will use."""
+    from ..ops.pallas_kernel import effective_block_bx
+
+    return (min(block[0], -(-by // 8) * 8), effective_block_bx(block[1], bx))
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h", "lb", "cb"))
@@ -103,12 +106,13 @@ def _ingest(buf, w, h, lb, cb, yperm=None, cperm=None):
 
     if cperm is not None:
         cby, cbx = (ch + 2 * p) // _B, (cw + 2 * p) // _B
+        cbxg = -(-cbx // cb[1]) * cb[1]  # lane-aligned grid, folded into perm
         t = interior_to_tiles(buf[..., w * h :].reshape(*lead, 2, ch, cw),
-                              p, perm=cperm)   # (.., 2, 8, 8, cby, cbx)
-        t = jnp.moveaxis(t, n, n + 2)          # (.., 8, 8, 2, cby, cbx)
-        uv = t.reshape(*lead, _B, _B, 2 * cby, cbx)
+                              p, perm=cperm, bx_grid=cbxg)
+        t = jnp.moveaxis(t, n, n + 2)          # (.., 8, 8, 2, cby, cbxg)
+        uv = t.reshape(*lead, _B, _B, 2 * cby, cbxg)
         rem = jnp.zeros((*lead, 0), jnp.uint8)
-        uv = _pad_to(uv, *_effective_block(cb, uv.shape[-2], uv.shape[-1]))
+        uv = _pad_to(uv, *cb)  # row padding only; columns already at grid
         return TileFrame(yt, uv, rem, rem)
 
     cpad = [(0, 0)] * n + [(p, p), (p, p)]
@@ -134,8 +138,9 @@ def _readback(tf: TileFrame, w, h, yperm=None, cperm=None):
 
     y_int = tiles_to_interior(tf.y, p, h, w, perm=yperm)
     if cperm is not None:  # fused non-sheared chroma (see _ingest)
-        t = tf.uv[..., : 2 * cby, :cbx].reshape(*lead, _B, _B, 2, cby, cbx)
-        t = jnp.moveaxis(t, n + 2, n)          # (.., 2, 8, 8, cby, cbx)
+        cbxg = tf.uv.shape[-1]
+        t = tf.uv[..., : 2 * cby, :].reshape(*lead, _B, _B, 2, cby, cbxg)
+        t = jnp.moveaxis(t, n + 2, n)          # (.., 2, 8, 8, cby, cbxg)
         uv_int = tiles_to_interior(t, p, ch, cw, perm=cperm)
         return jnp.concatenate([
             y_int.reshape(*lead, h * w),
@@ -229,9 +234,11 @@ class ResidentDeblocker:
         self._yperm_i = tile_perm_device(width, p, True, bxg)
         cw = width // 2
         if (cw + 2 * p) % _B == 0:
-            # non-sheared Q9: chroma rides the fused relayout too
-            self._cperm_f = tile_perm_device(cw, p, False)
-            self._cperm_i = tile_perm_device(cw, p, True)
+            # non-sheared Q9: chroma rides the fused relayout too, on the
+            # same lane-aligned grid the kernel will sweep
+            ccbxg = -(-cbx // self._cb[1]) * self._cb[1]
+            self._cperm_f = tile_perm_device(cw, p, False, ccbxg)
+            self._cperm_i = tile_perm_device(cw, p, True, ccbxg)
         else:
             self._cperm_f = self._cperm_i = None
 

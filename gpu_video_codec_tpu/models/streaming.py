@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deblock import deblock_frame
+from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY
 from ..ops.tables import HALF_BLOCK, SAMPLE_BLOCK_SIZE, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, segment_bs_maps_device
 from ..utils.yuv import FramePlanes, check_dims
@@ -45,10 +46,13 @@ def luma_grid_shape(width: int, height: int,
                     luma_block: tuple[int, int]) -> tuple[int, int]:
     """The padded luma tile-grid the Pallas kernel will sweep: tile counts
     rounded up to the effective block shape (deblock_tiles_pallas's adaptive
-    clamp mirrored here so layout and kernel agree exactly)."""
+    clamp -- incl. its cheap lane alignment -- mirrored here so layout and
+    kernel agree exactly)."""
+    from ..ops.pallas_kernel import effective_block_bx
+
     by, bx = (height + 2 * HALF_BLOCK) // 8, (width + 2 * HALF_BLOCK) // 8
     eby = min(luma_block[0], _ceil_to(by, 8))
-    ebx = min(luma_block[1], _ceil_to(bx, 8))
+    ebx = effective_block_bx(luma_block[1], bx)
     return _ceil_to(by, eby), _ceil_to(bx, ebx)
 
 
@@ -56,7 +60,7 @@ def luma_grid_shape(width: int, height: int,
                                               "luma_block", "chroma_block",
                                               "luma_grid"))
 def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
-                         luma_block=(8, 128), chroma_block=(8, 128),
+                         luma_block=(BLOCK_BY, BLOCK_BX), chroma_block=(BLOCK_BY, BLOCK_BX),
                          yperms=None, luma_grid=None):
     """Device-side: packed YV12 uint8 (3wh/2,) -> filtered packed YV12.
 
@@ -94,7 +98,12 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
             # covered split/join, or interior slices.  U and V batch through
             # ONE relayout dot via the packed buffer's (2, ch, cw) adjacency,
             # and the output concat sees two flat operands.
-            uvt = interior_to_tiles(buf[w * h :].reshape(2, ch, cw), p, perm=cfwd)
+            from ..ops.pallas_kernel import effective_block_bx
+
+            cbx = (cw + 2 * p) // SAMPLE_BLOCK_SIZE
+            cbxg = _ceil_to(cbx, effective_block_bx(chroma_block[1], cbx))
+            uvt = interior_to_tiles(buf[w * h :].reshape(2, ch, cw), p,
+                                    perm=cfwd, bx_grid=cbxg)
             cmaps = [m[None] for m in cm]  # one shared map across the U/V batch
             uv_out = deblock_tiles_pallas(uvt, *cmaps, beta, tc, chroma=True,
                                           block_by=chroma_block[0],
@@ -121,7 +130,7 @@ def _deblock_yv12_packed(buf, lm, cm, beta, tc, w, h, luma_only, backend,
                                               "luma_block", "chroma_block",
                                               "luma_grid"))
 def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
-                           luma_block=(8, 128), chroma_block=(8, 128),
+                           luma_block=(BLOCK_BY, BLOCK_BX), chroma_block=(BLOCK_BY, BLOCK_BX),
                            yperms=None, luma_grid=None):
     """n chained packed-YV12 deblock steps in ONE dispatch (lax.fori_loop):
     the device-time measurement primitive.  Over a network-attached device a
@@ -151,8 +160,8 @@ class StreamingDeblocker:
     def __init__(self, width: int, height: int, qp: int, *,
                  backend: str = "pallas", luma_only: bool = False,
                  depth: int = 2, bs: BoundaryStrength | None = None,
-                 luma_block: tuple[int, int] = (8, 128),
-                 chroma_block: tuple[int, int] = (8, 128)):
+                 luma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX),
+                 chroma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX)):
         if backend not in ("pallas", "jnp"):
             raise ValueError(f"streaming backend must be 'pallas' or 'jnp', got {backend!r}")
         check_dims(width, height)  # reference contract (cpu.h:46-48)
@@ -174,9 +183,15 @@ class StreamingDeblocker:
                      tile_perm_device(width, HALF_BLOCK, True, bxg)]
             cw = width // 2
             if (cw + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0 and not luma_only:
-                # non-sheared Q9 geometry: chroma uses the fused relayout too
-                perms += [tile_perm_device(cw, HALF_BLOCK, False),
-                          tile_perm_device(cw, HALF_BLOCK, True)]
+                # non-sheared Q9 geometry: chroma uses the fused relayout too,
+                # on the same lane-aligned grid the kernel will sweep
+                from ..ops.pallas_kernel import effective_block_bx
+
+                cbx = (cw + 2 * HALF_BLOCK) // SAMPLE_BLOCK_SIZE
+                cbxg = -(-cbx // effective_block_bx(self._chroma_block[1], cbx)
+                         ) * effective_block_bx(self._chroma_block[1], cbx)
+                perms += [tile_perm_device(cw, HALF_BLOCK, False, cbxg),
+                          tile_perm_device(cw, HALF_BLOCK, True, cbxg)]
             else:
                 perms += [None, None]
             self._yperms = tuple(perms)

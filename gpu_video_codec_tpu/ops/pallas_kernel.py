@@ -10,9 +10,10 @@ launch; here each tile makes exactly one HBM->VMEM->HBM round trip.
 
 TPU mapping: input is the tile-planes tensor (8, 8, By, Bx) (utils/tiles.py).
 A grid cell processes a (8, 8, BLOCK_BY, BLOCK_BX) block == BLOCK_BY*BLOCK_BX
-tiles; the trailing (BLOCK_BY, BLOCK_BX) = (8, 128) axes map straight onto
-the VPU's 8x128 vector registers, so every one of the ~400 int32 ops in the
-filter runs on 1024 tiles at once.  This sidesteps the "8x8 tile vs 8x128
+tiles; the trailing (BLOCK_BY, BLOCK_BX) axes map straight onto the VPU's
+8x128 vector registers (lanes = 128 tiles per VREG, BLOCK_BX a multiple of
+128), so every one of the ~400 int32 ops in the filter runs on thousands of
+tiles at once.  This sidesteps the "8x8 tile vs 8x128
 lane" mismatch called out in SURVEY.md section 7: lanes index *tiles*, not
 pixels.
 
@@ -73,6 +74,26 @@ def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *,
                 out_ref[r, c] = planes[r][c].astype(out_ref.dtype)
 
 
+def effective_block_bx(requested: int, grid_bx: int) -> int:
+    """Lane-dimension block clamp shared by the kernel and every layout that
+    pre-pads grids for it (streaming/resident must agree with the kernel
+    exactly).
+
+    Baseline: clamp the requested block to the 8-aligned grid size so small
+    grids aren't padded all the way up (CIF: Bx=45 -> 48, not 256).  On top
+    of that, round up to a 128-lane-aligned width when the extra padding is
+    cheap (<= ~10%): the relayout residual reorders around the kernel move
+    bxg-contiguous chunks, and a lane-aligned minor dim keeps them on the
+    fast copy path (1080p: grid 248 -> 256 costs +3% kernel work but saves
+    ~20 us of layout per frame -- device-trace measured)."""
+    tight = min(requested, -(-grid_bx // 8) * 8)
+    if tight >= 128:
+        aligned = -(-grid_bx // 128) * 128
+        if aligned <= requested and aligned * 10 <= tight * 11:
+            return aligned
+    return tight
+
+
 def _pad_to(x, by, bx):
     """Zero-pad the trailing (By, Bx) axes up to multiples of (by, bx)."""
     pb = (-x.shape[-2]) % by
@@ -121,10 +142,10 @@ def deblock_tiles_pallas(
     by, bx = tiles.shape[-2], tiles.shape[-1]
     # adaptive tail blocks: a grid narrower than the default block would be
     # zero-padded all the way up (e.g. CIF: Bx=45 -> 128, 2.8x HBM traffic);
-    # shrink the block to the 8-aligned grid size instead.  VMEM lane tiles
-    # are 128 wide regardless, so this only reduces memory traffic.
+    # shrink the block to the 8-aligned grid size instead -- except where
+    # lane alignment is cheap (see effective_block_bx).
     block_by = min(block_by, -(-by // 8) * 8)
-    block_bx = min(block_bx, -(-bx // 8) * 8)
+    block_bx = effective_block_bx(block_bx, bx)
     t = _pad_to(tiles, block_by, block_bx)
     maps = [_pad_to(m, block_by, block_bx) for m in (bs_ver1, bs_ver2, bs_hor1, bs_hor2)]
     pby, pbx = t.shape[-2], t.shape[-1]
