@@ -3,8 +3,8 @@
 The per-frame cost of the standard streaming path (models/streaming.py) is
 dominated not by the fused deblock kernel but by the layout contract around
 it -- packed YV12 bytes in, packed YV12 bytes out -- whose relayout passes
-cost ~6x the kernels even on the MXU one-hot engine (docs/PERF.md: ~205 us
-full graph vs ~27 us of kernels at 1080p).  For a pipeline whose frames
+cost ~7x the kernels even on the MXU one-hot engine (docs/PERF.md: ~190 us
+full graph vs ~23 us of kernels at 1080p).  For a pipeline whose frames
 *stay on device between stages* (a codec loop, a transcode graph, a filter
 chain), those transposes are pure overhead: the producer can hand this stage
 tile-planes directly and the consumer can keep them.
@@ -63,6 +63,8 @@ class TileFrame(NamedTuple):
         concatenated along By (one fused chroma launch per step).
     u_rem / v_rem: flat uncovered remainder of the extended chroma planes
         (quirk Q9); never touched by the filter, carried for exact readback.
+        Zero-size on non-sheared geometries (the fused chroma path -- the
+        remainder is then pure bottom padding that readback regenerates).
     """
 
     y: jax.Array
