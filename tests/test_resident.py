@@ -197,3 +197,20 @@ def test_resident_update_boundary_strength(rng):
     assert np.array_equal(rd(raw), _golden_packed(raw, w, h, qp))
     rd.update_boundary_strength(bs)
     assert np.array_equal(rd(raw), _golden_packed(raw, w, h, qp, bs=bs))
+
+
+@pytest.mark.slow
+def test_resident_batched_fuzz_geometries(rng):
+    """Fuzz: batched resident == per-frame golden across random geometries
+    (both sheared and non-sheared chroma paths), QPs spanning the no-op band
+    and the clamp."""
+    for case in range(6):
+        w = 8 * int(rng.integers(2, 30))
+        h = 8 * int(rng.integers(2, 20))
+        qp = int(rng.integers(0, 56))
+        raws = [_raw(rng, w, h) for _ in range(3)]
+        rd = ResidentDeblocker(w, h, qp)
+        out = rd(raws)
+        for i, raw in enumerate(raws):
+            assert np.array_equal(out[i], _golden_packed(raw, w, h, qp)), (
+                case, w, h, qp, i)
