@@ -116,6 +116,8 @@ def run_multistream(cfg: DeblockConfig, n_streams: int, mesh_spec: str | None) -
 
     from .parallel import MultiStreamDeblocker, default_mesh_shape, make_mesh
 
+    if n_streams < 1:
+        raise ValueError(f"--streams must be >= 1, got {n_streams}")
     if cfg.backend not in ("jnp", "pallas"):
         raise ValueError(
             f"--streams requires a device backend ('jnp' or 'pallas'), got {cfg.backend!r}"
@@ -296,9 +298,25 @@ def main(argv: list[str] | None = None) -> int:
             output=args.output, backend=args.backend, luma_only=args.luma_only,
             frames=args.frames, num_threads=args.num_threads, depth=args.depth,
         ).validate()
-        if args.streams:
+        if args.batch is not None and args.streams is not None:
+            raise ValueError("--batch and --streams are mutually exclusive "
+                             "(batched resident vs mesh multi-stream mode)")
+        if args.batch is not None:
+            # the batched mode runs the device-resident pipeline, which is
+            # pallas-only: reject rather than silently override --backend
+            if args.backend != "pallas":
+                raise ValueError(
+                    f"--batch uses the device-resident pallas pipeline; "
+                    f"--backend {args.backend} is not supported with it")
+            if args.bench:
+                raise ValueError("--bench is not supported with --batch; use "
+                                 "`python -m bench.bench_lib --table` for "
+                                 "batched timing")
+        if args.streams is not None and args.bench:
+            raise ValueError("--bench is not supported with --streams")
+        if args.streams is not None:
             result = run_multistream(cfg, args.streams, args.mesh)
-        elif args.batch:
+        elif args.batch is not None:
             result = run_batched(cfg, args.batch)
         else:
             result = run(cfg, bench=args.bench)

@@ -54,6 +54,28 @@ from ..utils.tiles import (
 from ..utils.yuv import check_dims
 
 
+class StepOperands(NamedTuple):
+    """The device operands a ResidentDeblocker's jitted graphs consume -- the
+    public contract for sharded wrappers (parallel/resident_mesh.py) that need
+    to re-place these arrays (e.g. replicate them over a mesh) without
+    touching ResidentDeblocker internals.
+
+    A plain pytree: `jax.tree.map(put, ops)` re-places every leaf; hand the
+    result to ResidentDeblocker.install_operands().  cperm_f/cperm_i are None
+    on sheared (Q9, w % 16 == 8) geometries, where chroma relayout cannot ride
+    the fused one-hot path.
+    """
+
+    lm: tuple        # 4 padded luma segment BS maps, (Byp, Bxp) uint8
+    cm: tuple        # 4 padded chroma maps (U over V stacked), (2cByp, cBxp)
+    beta: jax.Array  # int32 scalar (QP-derived, ops/tables.py)
+    tc: jax.Array    # int32 scalar
+    yperm_f: tuple   # forward luma relayout operands (utils.tiles.tile_perm_device)
+    yperm_i: tuple   # inverse luma relayout operands
+    cperm_f: tuple | None  # forward chroma operands (None when sheared)
+    cperm_i: tuple | None  # inverse chroma operands
+
+
 class TileFrame(NamedTuple):
     """Device-resident frame state (a jit-friendly pytree).
 
@@ -258,18 +280,52 @@ class ResidentDeblocker:
             jnp.asarray(_pad_to(np.concatenate([m, m], axis=0), *self._cb)) for m in cm
         )
 
+    # -- public operand/shape contract (used by parallel/resident_mesh.py) ----
+
+    @property
+    def operands(self) -> StepOperands:
+        """The step/ingest/readback device operands as one pytree."""
+        return StepOperands(self._lm, self._cm, self._beta, self._tc,
+                            self._yperm_f, self._yperm_i,
+                            self._cperm_f, self._cperm_i)
+
+    def install_operands(self, ops: StepOperands) -> None:
+        """Replace the device operands (e.g. with mesh-replicated copies).
+        Shapes/dtypes must match what `operands` returned; only placement is
+        expected to change."""
+        (self._lm, self._cm, self._beta, self._tc,
+         self._yperm_f, self._yperm_i, self._cperm_f, self._cperm_i) = ops
+
+    @property
+    def block_shapes(self) -> tuple[tuple[int, int], tuple[int, int]]:
+        """Effective (luma_block, chroma_block) after the kernel's adaptive
+        clamp -- static args every step wrapper must pass through."""
+        return self._lb, self._cb
+
+    @property
+    def luma_only(self) -> bool:
+        return self._luma_only
+
     # -- pipeline boundaries --------------------------------------------------
 
-    def _host_buf(self, frame) -> np.ndarray:
+    def host_buf(self, frame) -> np.ndarray:
+        """Normalize one packed frame (bytes / any uint8 array whose total
+        size is frame_bytes) or an (n, frame_bytes) batch to a validated
+        uint8 ndarray."""
         arr = (np.frombuffer(frame, np.uint8)
                if isinstance(frame, (bytes, bytearray))
                else np.asarray(frame, np.uint8))
-        if arr.ndim > 1:  # already a frame batch
-            arr = arr.reshape(arr.shape[0], -1)
-        if arr.shape[-1] != self.frame_bytes:
-            raise ValueError(
-                f"frame must be {self.frame_bytes} bytes, got {arr.shape[-1]}")
-        return arr
+        if arr.ndim == 2 and arr.shape[-1] == self.frame_bytes:
+            return arr  # already a frame batch
+        if arr.size == self.frame_bytes:  # single frame in any layout
+            return arr.ravel()
+        if arr.ndim > 1 and arr.size % self.frame_bytes == 0:
+            return arr.reshape(-1, self.frame_bytes)
+        raise ValueError(
+            f"frame must be {self.frame_bytes} bytes (or an (n, {self.frame_bytes}) "
+            f"batch), got shape {arr.shape}")
+
+    _host_buf = host_buf  # backward-compatible alias
 
     def ingest(self, frame) -> TileFrame:
         """Host frame(s) -> device TileFrame.  Accepts one packed frame

@@ -47,10 +47,13 @@ from .deblock import deblock_planes_core
 from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
 
 # (sublane, lane) block over the tile grid, clamped per-geometry by
-# deblock_tiles_pallas's adaptive tail logic.  256 lanes: device-trace
-# autotune at 1080p ranks 8x248 (the 1080p clamp of 8x256) ~3.5% ahead of
-# 8x128 AND it pads the 1080p grid to 248 instead of 256 tile columns
-# (less HBM traffic); small frames clamp to their grid size either way.
+# deblock_tiles_pallas's adaptive tail logic (effective_block_bx).  256
+# lanes: device-trace autotune at 1080p ranks the wide block ~3.5% faster
+# per grid cell than 8x128, and effective_block_bx then rounds the 1080p
+# grid up to a 128-lane multiple (248 -> 256 tile columns): ~3% extra
+# kernel work, but the lane-aligned minor dim keeps the relayout residual
+# reorders on the fast copy path (~20 us of layout saved per frame).
+# Small frames clamp to their 8-aligned grid size instead.
 BLOCK_BY = 8
 BLOCK_BX = 256
 
@@ -139,6 +142,15 @@ def deblock_tiles_pallas(
     if interpret is None:
         interpret = not _on_tpu()
     batched = tiles.ndim == 5
+    if batched:
+        nb = tiles.shape[0]
+        for name, m in (("bs_ver1", bs_ver1), ("bs_ver2", bs_ver2),
+                        ("bs_hor1", bs_hor1), ("bs_hor2", bs_hor2)):
+            if m.ndim != 3 or m.shape[0] not in (1, nb):
+                raise ValueError(
+                    f"batched tiles (leading batch {nb}) need 3-D BS maps with "
+                    f"a leading dim of 1 (shared) or {nb} (per-frame); "
+                    f"{name} has shape {m.shape}")
     by, bx = tiles.shape[-2], tiles.shape[-1]
     # adaptive tail blocks: a grid narrower than the default block would be
     # zero-padded all the way up (e.g. CIF: Bx=45 -> 128, 2.8x HBM traffic);

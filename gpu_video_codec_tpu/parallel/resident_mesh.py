@@ -100,21 +100,20 @@ class MeshResidentDeblocker:
         self._batch_sharding = NamedSharding(mesh, P("data"))
         # replicate the constant operands (BS maps, relayout one-hots, beta/tc)
         # over the mesh: arrays committed to one device can't mix with
-        # mesh-sharded args in a jitted computation
+        # mesh-sharded args in a jitted computation.  Uses the ResidentDeblocker
+        # operand contract (StepOperands) -- no reach into its internals.
         rep = NamedSharding(mesh, P())
         self._put_rep = put = (
             lambda t: jax.tree.map(lambda a: jax.device_put(a, rep), t))
-        rd = self._rd
-        rd._lm, rd._cm = put(rd._lm), put(rd._cm)
-        rd._beta, rd._tc = put(rd._beta), put(rd._tc)
-        rd._yperm_f, rd._yperm_i = put(rd._yperm_f), put(rd._yperm_i)
-        rd._cperm_f, rd._cperm_i = put(rd._cperm_f), put(rd._cperm_i)
+        self._rd.install_operands(put(self._rd.operands))
 
     def update_boundary_strength(self, bs: BoundaryStrength) -> None:
         """Swap in new BS arrays mesh-wide (no recompile; maps are step args)."""
         rd = self._rd
         rd.update_boundary_strength(bs)
-        rd._lm, rd._cm = self._put_rep(rd._lm), self._put_rep(rd._cm)
+        ops = rd.operands  # re-place only the refreshed BS maps; the relayout
+        rd.install_operands(ops._replace(  # one-hots are already mesh-resident
+            lm=self._put_rep(ops.lm), cm=self._put_rep(ops.cm)))
 
     def ingest(self, frames) -> TileFrame:
         """Host frame batch -> mesh-sharded TileFrame.
@@ -126,31 +125,35 @@ class MeshResidentDeblocker:
             buf = frames
         else:
             if isinstance(frames, (list, tuple)):
-                arr = np.stack([rd._host_buf(f) for f in frames])
+                arr = np.stack([rd.host_buf(f) for f in frames])
             else:
-                arr = rd._host_buf(frames)
+                arr = rd.host_buf(frames)
             if arr.ndim != 2:
                 raise ValueError("mesh ingest needs a BATCH of frames")
             buf = jax.device_put(arr, self._batch_sharding)
         if buf.shape[0] % self.n_data:
             raise ValueError(
                 f"batch {buf.shape[0]} not divisible by data axis {self.n_data}")
+        ops = rd.operands
+        lb, cb = rd.block_shapes
         # the relayout graph is per-frame elementwise over the batch, so the
         # GSPMD partitioner keeps the batch sharding end to end
-        return _ingest(buf, rd.width, rd.height, rd._lb, rd._cb,
-                       rd._yperm_f, rd._cperm_f)
+        return _ingest(buf, rd.width, rd.height, lb, cb,
+                       ops.yperm_f, ops.cperm_f)
 
     def step(self, tf: TileFrame, n_steps: int = 1) -> TileFrame:
         """n_steps kernel-only deblock passes on every chip in parallel."""
         rd = self._rd
-        fn = _mesh_step(self.mesh, int(n_steps), rd._luma_only, rd._lb, rd._cb)
-        return fn(tf, rd._lm, rd._cm, rd._beta, rd._tc)
+        ops = rd.operands
+        fn = _mesh_step(self.mesh, int(n_steps), rd.luma_only, *rd.block_shapes)
+        return fn(tf, ops.lm, ops.cm, ops.beta, ops.tc)
 
     def readback(self, tf: TileFrame) -> np.ndarray:
         """Mesh-sharded TileFrame -> (n, 3wh/2) filtered batch on the host."""
         rd = self._rd
+        ops = rd.operands
         return jax.device_get(_readback(tf, rd.width, rd.height,
-                                        rd._yperm_i, rd._cperm_i))
+                                        ops.yperm_i, ops.cperm_i))
 
     def __call__(self, frames) -> np.ndarray:
         return self.readback(self.step(self.ingest(frames)))

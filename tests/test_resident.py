@@ -214,3 +214,39 @@ def test_resident_batched_fuzz_geometries(rng):
         for i, raw in enumerate(raws):
             assert np.array_equal(out[i], _golden_packed(raw, w, h, qp)), (
                 case, w, h, qp, i)
+
+
+def test_resident_host_buf_planar_single_frame(rng):
+    """A single frame passed as a 2-D planar (3h/2, w) buffer must be accepted
+    (ADVICE r2: ndim>1 with total size == frame_bytes is a frame, not a
+    batch)."""
+    w, h = 64, 48
+    rd = ResidentDeblocker(w, h, 35)
+    raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+    planar = raw.reshape(3 * h // 2, w)
+    out_flat = rd(raw)
+    out_planar = rd(planar)
+    assert np.array_equal(out_flat, out_planar)
+    # 3-D batch (n, 3h/2, w) also normalizes
+    batch3d = np.stack([planar, planar])
+    out_b = rd(batch3d)
+    assert out_b.shape == (2, 3 * w * h // 2)
+    assert np.array_equal(out_b[0], out_flat)
+
+
+def test_resident_operands_contract(rng):
+    """StepOperands round-trip: operands -> install_operands keeps the
+    pipeline bit-identical (the contract parallel/resident_mesh.py relies
+    on), and block_shapes/luma_only expose the static step args."""
+    w, h = 64, 48
+    rd = ResidentDeblocker(w, h, 35)
+    raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+    ref = rd(raw)
+    import jax
+
+    ops = rd.operands
+    rd.install_operands(jax.tree.map(jax.device_put, ops))
+    assert np.array_equal(rd(raw), ref)
+    (lb, cb) = rd.block_shapes
+    assert len(lb) == 2 and len(cb) == 2
+    assert rd.luma_only is False
