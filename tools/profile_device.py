@@ -59,20 +59,27 @@ def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
     k = min(4, steps)  # distinct buffers to defeat any same-args caching
     raws = [packed_yv12(synthetic_frame(w, h, seed=s)) for s in range(k)]
     tfs = [rd.ingest(r) for r in raws]
-    devs = [sd._put(r) for r in raws]
 
     if mode == "chain":
+        dev0 = sd._put(raws[0])  # _chain does not donate; safe to reuse
+
         def run_resident():
             return [rd.run_steps(tfs[0], steps)]
 
         def run_packed():
-            return [sd._chain(devs[0], steps)]
+            return [sd._chain(dev0, steps)]
     else:
+        # sd._step DONATES its input on TPU (in-place packed output): keep a
+        # rotating set of chained step outputs instead of reusing inputs
+        cells = [sd._step(sd._put(r)) for r in raws]
+
         def run_resident():
             return [rd.step(tfs[i % k]) for i in range(steps)]
 
         def run_packed():
-            return [sd._step(devs[i % k]) for i in range(steps)]
+            for i in range(steps):
+                cells[i % k] = sd._step(cells[i % k])
+            return list(cells)
 
     # compile everything OUTSIDE the trace windows
     jax.block_until_ready(run_resident())
