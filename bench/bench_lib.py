@@ -246,6 +246,100 @@ def _timeit_once(f) -> float:
     return time.perf_counter() - t0
 
 
+def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
+                          reps: int = 7, geometries=_GEOMETRIES,
+                          ref_dir: str = "/root/reference/hevc_deblocking_filter") -> dict:
+    """Same-host native-vs-compiled-reference CPU comparison with
+    INTERLEAVED reps: for every (geometry, thread count) the native filter
+    and the compiled reference binary alternate rep-by-rep, so shared-core
+    load spikes hit both implementations equally instead of biasing
+    whichever sweep they landed in (round-2 verdict weak #4).  best-of-reps
+    per side; the reference's timing bracket is its own in-process
+    DeblockingFilter wall (main.cu:41-43 equivalent), so subprocess launch
+    cost never pollutes it.
+
+    caveat: this host exposes ONE CPU core (nproc == 1), so multi-thread
+    rows measure scheduling overhead, not scaling -- both sides pay it; the
+    1-thread rows are the meaningful per-core comparison."""
+    import os
+    import shutil
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from gpu_video_codec_tpu.runtime import native
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+
+    if not native.available():
+        return {"error": "native toolchain unavailable"}
+    if not (os.path.exists(os.path.join(ref_dir, "hevc_deblocking_filter_cpu.h"))
+            and shutil.which("g++")):
+        return {"error": "reference checkout or g++ unavailable"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "tools"))
+    from validate_vs_reference import build_reference
+
+    try:
+        ncpu = len(os.sched_getaffinity(0))
+    except AttributeError:
+        ncpu = os.cpu_count() or 1
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_reference(ref_dir, td)
+        for w, h, label in geometries:
+            frame = synthetic_frame(w, h)
+            inp = os.path.join(td, f"in_{w}x{h}.yuv")
+            packed_yv12(frame).tofile(inp)
+            out = os.path.join(td, "out.yuv")
+            bs = BoundaryStrength.intra_default(w, h)
+            scratch = type(frame)(frame.y.copy(), frame.u.copy(), frame.v.copy(),
+                                  frame.width, frame.height)
+
+            def native_rep(nt: int) -> float:
+                np.copyto(scratch.y, frame.y)
+                np.copyto(scratch.u, frame.u)
+                np.copyto(scratch.v, frame.v)
+                return _timeit_once(lambda: native.deblock_frame_native(
+                    scratch, bs, qp, num_threads=nt, inplace=True))
+
+            def ref_rep(nt: int) -> float:
+                env = dict(os.environ, REF_THREADS=str(nt), REF_BENCH_REPS="1")
+                r = subprocess.run([exe, inp, str(w), str(h), str(qp), out],
+                                   env=env, capture_output=True, text=True,
+                                   check=True)
+                return float(r.stdout.split("BENCH")[1].split()[0])
+
+            for nt in thread_counts:
+                native_rep(nt)  # warm both sides before the interleave
+                ref_rep(nt)
+                nat, ref = [], []
+                for _ in range(reps):  # strict alternation
+                    nat.append(native_rep(nt))
+                    ref.append(ref_rep(nt))
+                n_best, r_best = min(nat), min(ref)
+                rows.append({
+                    "config": f"{label}, {nt} threads",
+                    "native_s": n_best,
+                    "reference_s": r_best,
+                    "native_mpix_s": round(w * h / n_best / 1e6, 1),
+                    "reference_mpix_s": round(w * h / r_best / 1e6, 1),
+                    "native_over_reference": round(r_best / n_best, 3),
+                    "native_wins": n_best <= r_best,
+                })
+    return {
+        "qp": qp,
+        "reps_interleaved": reps,
+        "host_cpu_cores": ncpu,
+        "caveat": (f"host exposes {ncpu} CPU core(s); thread counts > "
+                   f"{ncpu} measure OpenMP scheduling overhead on a "
+                   "contended core for BOTH implementations, not parallel "
+                   "scaling -- the 1-thread rows are the per-core "
+                   "comparison (reference README numbers were measured on "
+                   "different, multi-core hardware)"),
+        "rows": rows,
+    }
+
+
 def bench_table(qp: int = 35) -> dict:
     """The full README-style table: compiled-reference + native CPU thread
     sweeps (same host), TPU kernel/copy split at CIF and 1080p, batched CIF,
@@ -637,6 +731,8 @@ if __name__ == "__main__":
         print(json.dumps(soak(), indent=2))
     elif "--devfed" in sys.argv:
         print(json.dumps(bench_device_fed(), indent=2))
+    elif "--cpu" in sys.argv:
+        print(json.dumps(bench_cpu_interleaved(), indent=2))
     elif "--autotune" in sys.argv:
         print(json.dumps(autotune_blocks(), indent=2))
     elif "--profile" in sys.argv:

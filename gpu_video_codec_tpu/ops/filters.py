@@ -119,18 +119,31 @@ def luma_edge_filter_planes(p, q, bs_mask, beta, tc, dtype=jnp.int32):
         p0, p1, p2, p3 = p[r]
         q0, q1, q2, q3 = q[r]
 
-        # strong filter deltas (cpu.h:1152-1199); tpq = p0 + q0 is shared by
-        # four of the six (exact: integer + is associative at these magnitudes)
+        # strong filter deltas (cpu.h:1152-1199), rewritten in VALUE form
+        # around shared three-term sums t = p1+p0+q0 and u = q1+q0+p0: the
+        # reference's delta numerators carry -6p0/-3p1/-5p2 style terms whose
+        # non-power-of-2 multiplies are expensive VPU ops; using
+        # (A - 2^k*B) >> k == (A >> k) - B (exact for arithmetic shift, any
+        # A) every multiply folds into shifts/adds of the shared sums.  Each
+        # form below equals the cited reference numerator bit-for-bit.
         tpq = p0 + q0
-        s0p = _clip1(_asr(p2 + 2 * p1 - 6 * p0 + 2 * q0 + q1 + 4, 3), c)
-        s1p = _clip1(_asr(p2 - 3 * p1 + tpq + 2, 2), c)
-        s2p = _clip1(_asr(2 * p3 - 5 * p2 + p1 + tpq + 4, 3), c)
-        s0q = _clip1(_asr(q2 + 2 * q1 - 6 * q0 + 2 * p0 + p1 + 4, 3), c)
-        s1q = _clip1(_asr(q2 - 3 * q1 + tpq + 2, 2), c)
-        s2q = _clip1(_asr(2 * q3 - 5 * q2 + q1 + tpq + 4, 3), c)
+        t = p1 + tpq                 # p1 + p0 + q0
+        u = q1 + tpq                 # q1 + q0 + p0
+        # cpu.h:1153: (p2 + 2p1 - 6p0 + 2q0 + q1 + 4)>>3 == ((2t + p2 + q1 + 4)>>3) - p0
+        s0p = _clip1(_asr(2 * t + p2 + q1 + 4, 3) - p0, c)
+        # cpu.h:1160: (p2 - 3p1 + p0 + q0 + 2)>>2 == ((t + p2 + 2)>>2) - p1
+        s1p = _clip1(_asr(t + p2 + 2, 2) - p1, c)
+        # cpu.h:1167: (2p3 - 5p2 + p1 + p0 + q0 + 4)>>3 == ((2p3 + 2p2 + p2 + t + 4)>>3) - p2
+        s2p = _clip1(_asr(2 * (p3 + p2) + p2 + t + 4, 3) - p2, c)
+        s0q = _clip1(_asr(2 * u + q2 + p1 + 4, 3) - q0, c)
+        s1q = _clip1(_asr(u + q2 + 2, 2) - q1, c)
+        s2q = _clip1(_asr(2 * (q3 + q2) + q2 + u + 4, 3) - q2, c)
 
-        # normal filter (cpu.h:1252-1275): per-row |delta0| gate
-        delta0 = _asr(9 * (q0 - p0) - 3 * (q1 - p1) + 8, 4)
+        # normal filter (cpu.h:1252-1275): per-row |delta0| gate.
+        # 9x == 8x + x and 3x == 2x + x: shifts/adds instead of VPU multiplies
+        d0 = q0 - p0
+        d1 = q1 - p1
+        delta0 = _asr(8 * d0 + d0 - (2 * d1 + d1) + 8, 4)
         row_gate = _iabs(delta0) < tc10
         big_d = _clip1(delta0, c)
         dp1 = _clip1(_asr(_asr(p2 + p0 + 1, 1) - p1 + big_d, 1), c2)

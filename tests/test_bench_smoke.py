@@ -107,3 +107,21 @@ def test_multistream_bench_mesh_branch():
     r = bench_4k_multistream(n_streams=2, frames_per_stream=2, w=64, h=48)
     assert "sharded over 8 devices" in r["config"]
     assert r["mpix_s"] > 0
+
+
+@pytest.mark.slow
+def test_cpu_interleaved_bench():
+    """Interleaved native-vs-compiled-reference rows: structure + the
+    1-core caveat annotation (round-2 verdict weak #4).  Tiny geometry,
+    1 thread, few reps to keep it bounded."""
+    from bench.bench_lib import bench_cpu_interleaved
+
+    r = bench_cpu_interleaved(thread_counts=(1,), reps=2,
+                              geometries=((64, 48, "tiny"),))
+    if "error" in r:
+        pytest.skip(r["error"])
+    assert r["host_cpu_cores"] >= 1 and "caveat" in r
+    row = r["rows"][0]
+    assert row["native_s"] > 0 and row["reference_s"] > 0
+    assert row["native_over_reference"] == round(
+        row["reference_s"] / row["native_s"], 3)
