@@ -422,47 +422,69 @@ def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
 
 def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
                     shapes=((8, 128), (8, 256), (16, 128), (8, 512), (16, 256), (32, 128)),
-                    iters: int = 50) -> dict:
+                    iters: int = 50, plane: str = "luma") -> dict:
     """Sweep Pallas grid block shapes for the fused kernel (the TPU analogue
     of the reference's hand-picked CUDA block dims, main.cu:138) and report
-    the fastest.  Run on real TPU hardware."""
+    the fastest.  plane="luma" sweeps the luma tile grid; plane="chroma"
+    sweeps the fused U+V stacked grid exactly as the pipelines launch it
+    (tile grids concatenated along By, shared maps).  Run on real TPU
+    hardware."""
     import jax.numpy as jnp
 
     from gpu_video_codec_tpu.ops.pallas_kernel import deblock_tiles_pallas
     from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
-    from gpu_video_codec_tpu.utils.bs import BoundaryStrength, luma_segment_maps
-    from gpu_video_codec_tpu.utils.tiles import plane_to_tiles
-    from gpu_video_codec_tpu.utils.yuv import extend_plane
+    from gpu_video_codec_tpu.utils.bs import (
+        BoundaryStrength, chroma_segment_maps, luma_segment_maps,
+    )
+    from gpu_video_codec_tpu.utils.tiles import plane_to_tiles, split_covered
 
     frame = synthetic_frame(w, h)
     bs = BoundaryStrength.intra_default(w, h)
-    maps = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
-    tiles = jnp.asarray(np.asarray(plane_to_tiles(frame.y)))
+    chroma = plane == "chroma"
+    if chroma:
+        u_core, _ = split_covered(frame.u)
+        v_core, _ = split_covered(frame.v)
+        ut, vt = plane_to_tiles(u_core), plane_to_tiles(v_core)
+        tiles = jnp.asarray(np.concatenate([np.asarray(ut), np.asarray(vt)], axis=2))
+        maps = tuple(jnp.asarray(np.concatenate([m, m], axis=0))
+                     for m in chroma_segment_maps(bs))
+    else:
+        maps = tuple(jnp.asarray(m) for m in luma_segment_maps(bs))
+        tiles = jnp.asarray(np.asarray(plane_to_tiles(frame.y)))
     beta, tc = jnp.int32(get_beta(qp)), jnp.int32(get_tc(qp))
     # dedupe by the *effective* shape: deblock_tiles_pallas clamps blocks to
     # the 8-aligned tile-grid size, so larger requested shapes can collapse
     # to the same compiled kernel
+    from gpu_video_codec_tpu.ops.pallas_kernel import _pad_to, effective_block_bx
+
     def ceil8(x):
         return -(-x // 8) * 8
 
-    gy, gx = ceil8((h + 8) // 8), ceil8((w + 8) // 8)
+    gy, gx = ceil8(tiles.shape[-2]), ceil8(tiles.shape[-1])
     results = {}
     seen = set()
     for bby, bbx in shapes:
-        eff = (min(bby, gy), min(bbx, gx))
+        # mirror the kernel's adaptive clamp, then PRE-pad tiles and maps to
+        # the effective block multiples OUTSIDE the timed region -- exactly
+        # how the pipelines launch (grids pre-padded at ingest, outputs
+        # consumed padded), so the sweep times the kernel, not per-shape
+        # pad/slice copies
+        eff = (min(bby, gy), effective_block_bx(bbx, tiles.shape[-1]))
         key = f"{eff[0]}x{eff[1]}"
         if key in seen:
             continue
         seen.add(key)
         bby, bbx = eff
+        t_pad = _pad_to(tiles, bby, bbx)
+        m_pad = [_pad_to(m, bby, bbx) for m in maps]
         try:
             from gpu_video_codec_tpu.utils.tracing import profiled_device_us
 
-            out = deblock_tiles_pallas(tiles, *maps, beta, tc,
+            out = deblock_tiles_pallas(t_pad, *m_pad, beta, tc, chroma=chroma,
                                        block_by=bby, block_bx=bbx)
             jax.block_until_ready(out)
             prof = profiled_device_us(
-                lambda: deblock_tiles_pallas(tiles, *maps, beta, tc,
+                lambda: deblock_tiles_pallas(t_pad, *m_pad, beta, tc, chroma=chroma,
                                              block_by=bby, block_bx=bbx),
                 iters=min(iters, 30))
             if prof is not None:
@@ -470,7 +492,7 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
             else:
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    out = deblock_tiles_pallas(tiles, *maps, beta, tc,
+                    out = deblock_tiles_pallas(t_pad, *m_pad, beta, tc, chroma=chroma,
                                                block_by=bby, block_bx=bbx)
                 jax.device_get(out.ravel()[:1])  # completion-forcing read
                 results[f"{bby}x{bbx}"] = (time.perf_counter() - t0) / iters
@@ -478,9 +500,24 @@ def autotune_blocks(qp: int = 35, w: int = 1920, h: int = 1080,
             results[f"{bby}x{bbx}"] = f"failed: {type(e).__name__}"
     timed = {k: v for k, v in results.items() if isinstance(v, float)}
     best = min(timed, key=timed.get) if timed else None
-    return {"results_us": {k: (round(v * 1e6, 1) if isinstance(v, float) else v)
+    return {"config": f"{w}x{h} {plane}",
+            "results_us": {k: (round(v * 1e6, 1) if isinstance(v, float) else v)
                            for k, v in results.items()},
             "best": best}
+
+
+def autotune_all(qp: int = 35, geometries=((1920, 1080), (3840, 2160)),
+                 iters: int = 30) -> dict:
+    """Block-shape autotune over luma AND the fused chroma grid at 1080p and
+    4K (the round-2 sweep covered luma 1080p only).  Winners feed the
+    per-geometry defaults in ops/pallas_kernel.py when they beat the current
+    default beyond noise."""
+    out = {}
+    for w, h in geometries:
+        for plane in ("luma", "chroma"):
+            out[f"{w}x{h}_{plane}"] = autotune_blocks(qp=qp, w=w, h=h,
+                                                      plane=plane, iters=iters)
+    return out
 
 
 def soak(n_frames: int = 1000, qp: int = 35, w: int = 1920, h: int = 1080) -> dict:
@@ -734,7 +771,7 @@ if __name__ == "__main__":
     elif "--cpu" in sys.argv:
         print(json.dumps(bench_cpu_interleaved(), indent=2))
     elif "--autotune" in sys.argv:
-        print(json.dumps(autotune_blocks(), indent=2))
+        print(json.dumps(autotune_all(), indent=2))
     elif "--profile" in sys.argv:
         d = sys.argv[sys.argv.index("--profile") + 1]
         print(json.dumps({"trace_dir": profile_trace(d)}))

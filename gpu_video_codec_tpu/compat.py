@@ -132,13 +132,13 @@ def ExecuteTpu(input_file: str, output_file: str, width: int, height: int,
                    (gpu.cu:1246-1303), not a sum of separately-timed parts.
     """
     from .models.streaming import StreamingDeblocker
-    from .ops.pallas_kernel import BLOCK_BX, BLOCK_BY
+    from .ops.pallas_kernel import BLOCK_BX, BLOCK_BY, CHROMA_BLOCK
 
     with open(input_file, "rb") as f:
         raw = f.read(3 * width * height // 2)
     s = StreamingDeblocker(width, height, Qp, backend="pallas",
                            luma_block=tuple(luma_block or (BLOCK_BY, BLOCK_BX)),
-                           chroma_block=tuple(chroma_block or (BLOCK_BY, BLOCK_BX)))
+                           chroma_block=tuple(chroma_block or CHROMA_BLOCK))
     (out,) = list(s.run([raw]))
     with open(output_file, "wb") as f:
         f.write(out.tobytes())

@@ -39,7 +39,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY, _pad_to, deblock_tiles_pallas
+from ..ops.pallas_kernel import (
+    BLOCK_BX, BLOCK_BY, CHROMA_BLOCK, _pad_to, deblock_tiles_pallas,
+)
 from ..ops.tables import HALF_BLOCK, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
 from ..utils.tiles import (
@@ -236,7 +238,7 @@ class ResidentDeblocker:
     def __init__(self, width: int, height: int, qp: int, *,
                  luma_only: bool = False, bs: BoundaryStrength | None = None,
                  luma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX),
-                 chroma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX)):
+                 chroma_block: tuple[int, int] = CHROMA_BLOCK):
         check_dims(width, height)  # reference contract (cpu.h:46-48)
         self.width, self.height, self.qp = width, height, int(qp)
         self.frame_bytes = 3 * width * height // 2

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.deblock import deblock_frame
-from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY
+from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY, CHROMA_BLOCK
 from ..ops.tables import HALF_BLOCK, SAMPLE_BLOCK_SIZE, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, segment_bs_maps_device
 from ..utils.yuv import FramePlanes, check_dims
@@ -90,7 +90,7 @@ def _pack_out(buf, parts_at, inplace):
 
 def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
                               luma_block=(BLOCK_BY, BLOCK_BX),
-                              chroma_block=(BLOCK_BY, BLOCK_BX),
+                              chroma_block=CHROMA_BLOCK,
                               yperms=None, luma_grid=None, inplace=False):
     """Device-side: packed YV12 uint8 (3h/2, w) -> filtered packed YV12.
 
@@ -181,7 +181,7 @@ _deblock_yv12_packed_donated = jax.jit(
                                               "luma_block", "chroma_block",
                                               "luma_grid"))
 def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
-                           luma_block=(BLOCK_BY, BLOCK_BX), chroma_block=(BLOCK_BY, BLOCK_BX),
+                           luma_block=(BLOCK_BY, BLOCK_BX), chroma_block=CHROMA_BLOCK,
                            yperms=None, luma_grid=None):
     """n chained packed-YV12 deblock steps in ONE dispatch (lax.fori_loop):
     the device-time measurement primitive.  Over a network-attached device a
@@ -215,7 +215,7 @@ class StreamingDeblocker:
                  backend: str = "pallas", luma_only: bool = False,
                  depth: int = 2, bs: BoundaryStrength | None = None,
                  luma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX),
-                 chroma_block: tuple[int, int] = (BLOCK_BY, BLOCK_BX)):
+                 chroma_block: tuple[int, int] = CHROMA_BLOCK):
         if backend not in ("pallas", "jnp"):
             raise ValueError(f"streaming backend must be 'pallas' or 'jnp', got {backend!r}")
         check_dims(width, height)  # reference contract (cpu.h:46-48)

@@ -46,16 +46,26 @@ from jax.experimental.pallas import tpu as pltpu
 from .deblock import deblock_planes_core
 from ..utils.tiles import plane_to_tiles, split_covered, tiles_to_plane
 
-# (sublane, lane) block over the tile grid, clamped per-geometry by
-# deblock_tiles_pallas's adaptive tail logic (effective_block_bx).  256
-# lanes: device-trace autotune at 1080p ranks the wide block ~3.5% faster
-# per grid cell than 8x128, and effective_block_bx then rounds the 1080p
-# grid up to a 128-lane multiple (248 -> 256 tile columns): ~3% extra
-# kernel work, but the lane-aligned minor dim keeps the relayout residual
-# reorders on the fast copy path (~20 us of layout saved per frame).
-# Small frames clamp to their 8-aligned grid size instead.
+# (sublane, lane) blocks over the tile grid, clamped per-geometry by
+# deblock_tiles_pallas's adaptive tail logic (effective_block_bx).  The
+# round-3 device-trace autotune (bench.bench_lib.autotune_all: luma+chroma
+# x {1080p, 4K}, grids PRE-padded so the sweep times the kernel the way the
+# pipelines launch it) picked:
+#   luma (8, 512): clamps to the same 8x256 winner at 1080p (19.3 us) and
+#     runs 8x512 at 4K (71.8 vs 74.3 us for 8x256); taller luma blocks lose
+#     to VMEM pressure (16x/32x 5-20% worse).
+#   chroma (32, 256): the fused U+V grid is short and wide; taller blocks
+#     fill the VPU better -- 1080p 6.5 us vs 9.1 for the old (8, 128)
+#     effective, 4K 18.7 vs 26.7.
+# effective_block_bx also rounds grids up to a 128-lane multiple when the
+# padding is cheap: the lane-aligned minor dim keeps the relayout residual
+# reorders on the fast copy path.  Small frames clamp to their 8-aligned
+# grid size.
 BLOCK_BY = 8
-BLOCK_BX = 256
+BLOCK_BX = 512
+CHROMA_BLOCK_BY = 32
+CHROMA_BLOCK_BX = 256
+CHROMA_BLOCK = (CHROMA_BLOCK_BY, CHROMA_BLOCK_BX)
 
 
 def _kernel(beta_ref, tc_ref, t_ref, v1_ref, v2_ref, h1_ref, h2_ref, out_ref, *,
@@ -203,7 +213,7 @@ def deblock_tiles_pallas(
 def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
                          luma_only=False, interpret=None, dtype=jnp.int32,
                          luma_block=(BLOCK_BY, BLOCK_BX),
-                         chroma_block=(BLOCK_BY, BLOCK_BX)):
+                         chroma_block=CHROMA_BLOCK):
     """Full-frame deblock via the fused Pallas kernel.
 
     Luma runs as one kernel call; U and V fold into a single chroma call by
@@ -231,7 +241,7 @@ def deblock_frame_pallas(y_ext, u_ext, v_ext, luma_maps, chroma_maps, beta, tc,
 
 def deblock_chroma_ext_pallas(u_ext, v_ext, chroma_maps, beta, tc,
                               interpret=None, dtype=jnp.int32,
-                              chroma_block=(BLOCK_BY, BLOCK_BX)):
+                              chroma_block=CHROMA_BLOCK):
     """Chroma-only deblock of extended U/V planes (one fused launch).
 
     Chroma sweeps the reference's flat (8*ncby, 8*ncbx) view (quirk Q9:
