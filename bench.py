@@ -1,15 +1,17 @@
 #!/usr/bin/env python
 """Driver entry point: prints ONE JSON line with the headline benchmark.
 
-Metric: filtered Mpix/s/chip at 1080p YV12, KERNEL-ONLY, measured as DEVICE
-time from profiler traces (utils/tracing.py) on the device-resident
-pipeline whose per-step graph is exactly the fused Pallas kernels -- the
-same "without copy" definition as the reference's best published number
-(CUDA-event-bracketed GPU kernel time with pinned memory, 744 Mpix/s on a
-GTX 1060 Max-Q, BASELINE.md), which vs_baseline divides by.  The packed
-full-graph device time (kernels + layout matmuls) and the copy-overlap
-streaming rate are in details; in this dev environment the pipeline is
-bound by the tunneled host->TPU link, not the framework."""
+Metric: filtered Mpix/s/chip at 1080p YV12 through the PACKED FULL GRAPH
+(raw YV12 bytes in HBM -> filtered YV12 bytes in HBM), measured as DEVICE
+time from profiler traces (utils/tracing.py), including every layout pass
+the packed contract requires.  This is the like-for-like analogue of the
+reference's best published bracket ("GPU kernel time without copy",
+CUDA-event around kernels on its natural device format, 744 Mpix/s on a
+GTX 1060 Max-Q, BASELINE.md), which vs_baseline divides by.  The
+device-resident kernel-only rate (tile-planes in/out), the copy-overlap
+streaming rate, the device-fed overlap harness, and the link microbench
+are in details; in this dev environment the host-fed path is bound by the
+tunneled host->TPU link, not the framework."""
 
 import json
 import os

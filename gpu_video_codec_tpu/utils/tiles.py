@@ -37,8 +37,9 @@ class FactoredPerm(NamedTuple):
     MACs per 1080p luma plane: 571M forward / 17.7M inverse, vs the full
     one-hot perm's 4.28G each -- the dot drops 23.4 -> ~6 us and 24 -> ~3 us
     (device-trace measured, tools/fastperm_exp.py), bit-exact by
-    construction (identity contraction selects exactly one input).  Padding
-    rides the s8 shift: pad value -128 == pixel 0 after the +128 add-back.
+    construction (identity contraction selects exactly one input).  Padding:
+    u8 mode (default) pads plain 0 -- identity dot of 0 is 0 (Q6); s8 mode
+    pads -128 in the shifted domain == pixel 0 after the +128 add-back.
     """
 
 
@@ -119,13 +120,21 @@ def join_covered(core, rem, h, w, xp):
 # chunked copy.  (Race of all candidate formulations: tools/relayout_exp.py.)
 #
 # MXU dtype (GVCT_RELAYOUT_DTYPE):
-#   "s8" (default): the v5e MXU runs s8 x s8 -> s32 at 2x the bf16 MAC rate.
-#     uint8 pixels don't fit int8, but (x - 128) does, and with a 0/1 matrix
-#     P: dot(x - 128, P) + 128 * colsum(P) == dot(x, P) exactly (colsum is 1
+#   "u8" (default, round 3): the v5e MXU runs u8 x u8 -> s32 at the full
+#     integer MAC rate (device-trace measured IDENTICAL to s8: 26.96 vs
+#     26.97 us for the 1080p forward perm) -- so the dot consumes uint8
+#     pixels and the 0/1 matrix DIRECTLY.  No (x - 128) shift pass, no
+#     +128*colsum bias operand; unselected (padding) output columns give
+#     dot == 0 == pixel 0 (Q6) naturally.  This deletes a full elementwise
+#     HBM pass on every dot whose lhs isn't already produced by a fused
+#     pad (the inverse dots' u8->s8 shifts, ~4.5 us/frame at 1080p).
+#   "s8" (round-2 engine, kept for comparison): s8 x s8 -> s32 on shifted
+#     pixels -- (x - 128) fits int8, and with a 0/1 matrix P:
+#     dot(x - 128, P) + 128 * colsum(P) == dot(x, P) exactly (colsum is 1
 #     on selected output columns, 0 on padding columns, so padding still
-#     lands at 0).  Device-trace measured at 1080p luma: 35.4 us/plane vs
-#     bf16's 47.9 (tools/pack_exp.py), bit-exact on hardware.
-#   "bf16": uint8 values (<= 255) are exact in bf16; kept for comparison.
+#     lands at 0).
+#   "bf16": uint8 values (<= 255) are exact in bf16; half the integer MAC
+#     rate; kept for comparison.
 #
 # "auto" (default): mxu for uint8 jax arrays when jax is executing on TPU;
 # transpose otherwise (numpy hosts, CPU test meshes).  GVCT_RELAYOUT
@@ -133,35 +142,44 @@ def join_covered(core, rem, h, w, xp):
 # ---------------------------------------------------------------------------
 
 
+def _relayout_dtype() -> str:
+    return os.environ.get("GVCT_RELAYOUT_DTYPE", "u8")
+
+
 def _perm_device(perm_np):
     """Device operands for a one-hot relayout dot: (mat, bias).
 
-    s8 mode: (int8 matrix, int32 bias = 128 * column sums); bf16 mode:
-    (bfloat16 matrix, None)."""
+    u8 mode (default): (uint8 matrix, None) -- the dot consumes uint8
+    pixels directly.  s8 mode: (int8 matrix, int32 bias = 128 * column
+    sums).  bf16 mode: (bfloat16 matrix, None)."""
     import jax.numpy as jnp
 
-    if os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") == "bf16":
+    mode = _relayout_dtype()
+    if mode == "bf16":
         return jnp.asarray(perm_np, jnp.bfloat16), None
-    bias = (128.0 * perm_np.sum(0)).astype("int32")
-    return jnp.asarray(perm_np, jnp.int8), jnp.asarray(bias)
+    if mode == "s8":
+        bias = (128.0 * perm_np.sum(0)).astype("int32")
+        return jnp.asarray(perm_np, jnp.int8), jnp.asarray(bias)
+    return jnp.asarray(perm_np, jnp.uint8), None
 
 
 def _onehot_dot(x_u8, ops, n):
     """dot(x_u8, P) over x's last axis (n leading axes kept), exactly.
 
-    ops = (mat, bias) from _perm_device; returns int-valued f32 (bf16 mode)
-    or int32 (s8 mode) -- callers .astype(uint8) after any reshaping."""
+    ops = (mat, bias) from _perm_device; returns int32 (u8/s8 modes) or
+    int-valued f32 (bf16 mode) -- callers .astype(uint8) after any
+    reshaping."""
     import jax
+    import jax.numpy as jnp
 
     mat, bias = ops
     dims = (((n + 1,), (0,)), ((), ()))
+    if mat.dtype == jnp.uint8:
+        return jax.lax.dot_general(x_u8, mat, dims,
+                                   preferred_element_type=jnp.int32)
     if bias is None:
-        import jax.numpy as jnp
-
         return jax.lax.dot_general(x_u8.astype(jnp.bfloat16), mat, dims,
                                    preferred_element_type=jnp.float32)
-    import jax.numpy as jnp
-
     xs = (x_u8.astype(jnp.int32) - 128).astype(jnp.int8)
     o = jax.lax.dot_general(xs, mat, dims, preferred_element_type=jnp.int32)
     return o + bias
@@ -199,13 +217,13 @@ _SPLIT_TARGET_S = 1024
 def _split_k(wext_grid: int) -> int:
     """Number of relayout slices for a grid-padded extended width (1 = use
     the full-width perm).  GVCT_RELAYOUT_SPLIT=<k> forces a value (0 = auto);
-    split requires s8 mode (the bf16 engine keeps the full perm)."""
+    split requires an integer mode, u8/s8 (the bf16 engine keeps the full
+    perm)."""
     forced = os.environ.get("GVCT_RELAYOUT_SPLIT")
     if forced is not None and int(forced) > 0:
         k = int(forced)
         return k if (wext_grid // SAMPLE_BLOCK_SIZE) % k == 0 else 1
-    if (os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") == "bf16"
-            or wext_grid < _SPLIT_MIN_WEXT):
+    if _relayout_dtype() == "bf16" or wext_grid < _SPLIT_MIN_WEXT:
         return 1
     bxg = wext_grid // SAMPLE_BLOCK_SIZE
     k = max(1, wext_grid // _SPLIT_TARGET_S)
@@ -217,8 +235,8 @@ def _split_k(wext_grid: int) -> int:
 
 
 def _fact_enabled(wext_grid: int | None = None) -> bool:
-    """Factored engine policy (s8 mode only; GVCT_RELAYOUT_FACT=1 forces on,
-    =0 forces off, unset = auto by grid width).
+    """Factored engine policy (integer modes u8/s8; GVCT_RELAYOUT_FACT=1
+    forces on, =0 forces off, unset = auto by grid width).
 
     The middle-dim contraction cuts the MXU MACs (O(Wg) -> O(Wg/8) forward,
     O(64) inverse) and is bit-exact, but XLA materializes lhs/output layout
@@ -232,7 +250,7 @@ def _fact_enabled(wext_grid: int | None = None) -> bool:
     engine as the large-width strategy (GVCT_RELAYOUT_SPLIT still forces
     split for experiments)."""
     forced = os.environ.get("GVCT_RELAYOUT_FACT")
-    if os.environ.get("GVCT_RELAYOUT_DTYPE", "s8") != "s8":
+    if _relayout_dtype() == "bf16":
         return False
     if forced is not None:
         return forced == "1"
@@ -248,37 +266,50 @@ def _to_s8(x):
     return (x.astype(jnp.int32) - 128).astype(jnp.int8)
 
 
-def _fact_fwd_rows(rows_s8):
-    """(.., R, 8*Bxg) shifted-i8 extended-grid rows -> (.., R, 8, Bxg) uint8
-    de-interleaved rows, via the middle-dim identity contraction."""
+def _fact_fwd_rows(rows_u8):
+    """(.., R, 8*Bxg) uint8 extended-grid rows -> (.., R, 8, Bxg) uint8
+    de-interleaved rows, via the middle-dim identity contraction.  u8 mode
+    feeds the pixels straight to the dot; s8 mode shifts to (x - 128)
+    internally and adds 128 back (both exact; zero-padded input rows come
+    out 0 either way -- the shift maps 0 -> -128 -> 0)."""
     import jax
     import jax.numpy as jnp
 
     b = SAMPLE_BLOCK_SIZE
-    *lead, r, wg = rows_s8.shape
+    *lead, r, wg = rows_u8.shape
     n = len(lead)
     bxg = wg // b
-    x3 = rows_s8.reshape(*lead, r, bxg, b)
-    ident = jnp.eye(bxg, dtype=jnp.int8)
-    o = jax.lax.dot_general(x3, ident, (((n + 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    return (o + 128).astype(jnp.uint8)  # (.., R, 8, Bxg)
+    dims = (((n + 1,), (0,)), ((), ()))
+    if _relayout_dtype() == "s8":
+        x3 = _to_s8(rows_u8).reshape(*lead, r, bxg, b)
+        o = jax.lax.dot_general(x3, jnp.eye(bxg, dtype=jnp.int8), dims,
+                                preferred_element_type=jnp.int32) + 128
+    else:
+        x3 = rows_u8.reshape(*lead, r, bxg, b)
+        o = jax.lax.dot_general(x3, jnp.eye(bxg, dtype=jnp.uint8), dims,
+                                preferred_element_type=jnp.int32)
+    return o.astype(jnp.uint8)  # (.., R, 8, Bxg)
 
 
 def _fact_inv_rows(rows_cs):
     """(.., R, 8, Bxg) uint8 de-interleaved rows -> (.., R, 8*Bxg) uint8
-    extended-grid rows (inverse identity contraction over the 8-wide c dim)."""
+    extended-grid rows (inverse identity contraction over the 8-wide c dim).
+    Same u8/s8 dtype policy as _fact_fwd_rows."""
     import jax
     import jax.numpy as jnp
 
     b = SAMPLE_BLOCK_SIZE
     *lead, r, _, bxg = rows_cs.shape
     n = len(lead)
-    ident = jnp.eye(b, dtype=jnp.int8)
-    o = jax.lax.dot_general(_to_s8(rows_cs), ident, (((n + 1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
+    dims = (((n + 1,), (0,)), ((), ()))
+    if _relayout_dtype() == "s8":
+        o = jax.lax.dot_general(_to_s8(rows_cs), jnp.eye(b, dtype=jnp.int8),
+                                dims, preferred_element_type=jnp.int32) + 128
+    else:
+        o = jax.lax.dot_general(rows_cs, jnp.eye(b, dtype=jnp.uint8),
+                                dims, preferred_element_type=jnp.int32)
     # (.., R, Bxg, 8): flat col index t*8 + c IS the extended column
-    return (o + 128).astype(jnp.uint8).reshape(*lead, r, b * bxg)
+    return o.astype(jnp.uint8).reshape(*lead, r, b * bxg)
 
 
 def _mxu_eligible(x) -> bool:
@@ -304,7 +335,7 @@ def _plane_to_tiles_mxu(plane):
     n = len(lead)
     by, bx = h // b, w // b
     if _fact_enabled(w):
-        o = _fact_fwd_rows(_to_s8(plane))  # (.., Hext, 8, Bx) uint8
+        o = _fact_fwd_rows(plane)  # (.., Hext, 8, Bx) uint8
     else:
         # convert to uint8 IN the dot epilogue (values are exact u8 already):
         # the residual reorder then moves 1-byte, not 4-byte, elements -- the
@@ -364,8 +395,9 @@ def _perm_np_interior(w: int, pad: int, inverse: bool, bx_grid: int | None = Non
 
 def tile_perm_device(w: int, pad: int, inverse: bool, bx_grid: int | None = None):
     """The one-hot relayout operands as DEVICE arrays: (mat, bias) --
-    int8 matrix + int32 add-back bias (s8 mode, default) or bfloat16 matrix
-    + None (GVCT_RELAYOUT_DTYPE=bf16).  For large widths the operand is the
+    uint8 matrix + None (u8 mode, default), int8 matrix + int32 add-back
+    bias (GVCT_RELAYOUT_DTYPE=s8) or bfloat16 matrix + None
+    (GVCT_RELAYOUT_DTYPE=bf16).  For large widths the operand is the
     shared square (S, S) per-slice perm of the block-diagonal split engine
     (_split_k policy); the engines detect the mode from the matrix shape.
 
@@ -432,11 +464,11 @@ def interior_to_tiles(plane, pad: int, *, perm=None, bx_grid: int | None = None,
     if perm is None:
         perm = tile_perm_device(w, pad, False, bxg)
     if isinstance(perm, FactoredPerm):
-        # pad value -128 in the shifted-i8 domain == pixel 0 (Q6) after the
-        # +128 add-back, so column/grid padding still costs nothing
-        xp = jnp.pad(_to_s8(plane),
-                     [(0, 0)] * n + [(pad, bot), (pad, b * bxg - pad - w)],
-                     constant_values=-128)
+        # plain zero padding is exact in both dot modes: u8 selects the 0
+        # directly; s8 shifts it to -128 and the +128 add-back restores 0
+        # (Q6) -- so column/grid padding still costs nothing
+        xp = jnp.pad(plane,
+                     [(0, 0)] * n + [(pad, bot), (pad, b * bxg - pad - w)])
         o = _fact_fwd_rows(xp)  # (.., 8*byg, 8, bxg) uint8
         o = o.reshape(*lead, byg, b, b, bxg)
         return o.transpose(*range(n), n + 1, n + 2, n + 0, n + 3)

@@ -30,10 +30,11 @@ def test_leading_batch_dims(rng):
     assert np.array_equal(t[1, 2], plane_to_tiles(planes[1, 2]))
 
 
-@pytest.fixture(params=["s8", "bf16"])
+@pytest.fixture(params=["u8", "s8", "bf16"])
 def mxu_dtype(request):
-    """Both MXU relayout dot dtypes must be bit-identical to the
-    reshape+transpose engine (s8 = 2x MAC-rate default, bf16 = fallback)."""
+    """All MXU relayout dot dtypes must be bit-identical to the
+    reshape+transpose engine (u8 = shift-free default, s8 = shifted
+    round-2 engine, bf16 = fallback)."""
     return request.param
 
 
@@ -182,10 +183,11 @@ class TestSplitRelayout:
     GVCT_RELAYOUT_SPLIT): must be bit-identical to the full-width perm and
     the transpose engine, incl. grid padding and leading batch dims."""
 
-    @pytest.fixture(autouse=True)
-    def _force(self, monkeypatch):
+    @pytest.fixture(autouse=True, params=["u8", "s8"])
+    def _force(self, request, monkeypatch):
         monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
         monkeypatch.setenv("GVCT_RELAYOUT_SPLIT", "2")
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", request.param)
 
     def test_roundtrip_matches_transpose(self, rng):
         import jax.numpy as jnp
@@ -244,10 +246,11 @@ class TestFactoredRelayout:
     bit-identical to the transpose engine, incl. grid padding, leading batch
     dims, and the full packed pallas graph vs golden."""
 
-    @pytest.fixture(autouse=True)
-    def _force(self, monkeypatch):
+    @pytest.fixture(autouse=True, params=["u8", "s8"])
+    def _force(self, request, monkeypatch):
         monkeypatch.setenv("GVCT_RELAYOUT", "mxu")
         monkeypatch.setenv("GVCT_RELAYOUT_FACT", "1")
+        monkeypatch.setenv("GVCT_RELAYOUT_DTYPE", request.param)
 
     def test_roundtrip_matches_transpose(self, rng):
         import jax.numpy as jnp
