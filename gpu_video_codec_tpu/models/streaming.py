@@ -88,19 +88,20 @@ def _pack_out(buf, parts_at, inplace):
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
-def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
-                              luma_block=(BLOCK_BY, BLOCK_BX),
-                              chroma_block=CHROMA_BLOCK,
-                              yperms=None, luma_grid=None, inplace=False):
-    """Device-side: packed YV12 uint8 (3h/2, w) -> filtered packed YV12.
+def _deblock_planes_impl(y, uv, lm, cm, beta, tc, w, h, luma_only, backend,
+                         luma_block=(BLOCK_BY, BLOCK_BX),
+                         chroma_block=CHROMA_BLOCK,
+                         yperms=None, luma_grid=None):
+    """Device-side PLANES contract: y (h, w) + uv (2, h/2, w/2) uint8 ->
+    (filtered y, filtered uv), same shapes.
 
-    The buffer is 2-D ((3h/2, w) -- the same bytes as the flat YV12 file
-    order, viewed as rows): on TPU a 1-D buffer carries 1-D tiling, so every
-    1-D <-> 2-D reshape is a RETILING copy (~32 us/frame at 1080p,
-    device-trace measured).  With the 2-D view the luma plane is a leading
-    row-slice (tiling-preserving, free) and its write-back a row-aligned
-    dynamic-update-slice (free); only the chroma region pays a ~1 MB
-    retile to (2, ch, cw) and back.
+    This is the exact analogue of the reference's device format: it keeps
+    Y, U and V in three SEPARATE device buffers (_gpu_Y/U/V_ptr,
+    gpu.cu:1248-1250) and its kernels index the planes directly
+    (gpu.cu:535-545) -- its 'without copy' bracket never touches a packed
+    YV12 buffer.  Operating at plane granularity here likewise skips every
+    packed-buffer retile and write-back pass (the (3h/2, w) <-> (2, ch, cw)
+    chroma retiles and the output packing, ~12 us/frame at 1080p).
 
     On the pallas path the luma plane goes interior -> tile-planes ->
     interior directly (utils.tiles.interior_to_tiles/tiles_to_interior):
@@ -114,8 +115,6 @@ def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
     each step."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
-    y = buf[:h]
-    uv = buf[h:].reshape(2, ch, cw)
     u, v = uv[0], uv[1]
     if backend == "pallas":
         from ..ops.pallas_kernel import deblock_chroma_ext_pallas, deblock_tiles_pallas
@@ -128,14 +127,13 @@ def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
                                      block_by=luma_block[0], block_bx=luma_block[1])
         y_int = tiles_to_interior(y_out, p, h, w, perm=inv)  # (h, w)
         if luma_only:
-            return _pack_out(buf, [(0, y_int)], inplace)
+            return y_int, uv
         if (cw + 2 * p) % SAMPLE_BLOCK_SIZE == 0:
             # non-sheared Q9: the covered flat view IS the extended plane
             # (minus untouched bottom padding rows), so chroma rides the same
             # fused interior<->tiles relayout as luma -- no explicit pads,
             # covered split/join, or interior slices.  U and V batch through
-            # ONE relayout dot via the packed buffer's (2, ch, cw) adjacency,
-            # and the output concat sees two flat operands.
+            # ONE relayout dot via the uv buffer's (2, ch, cw) adjacency.
             from ..ops.pallas_kernel import effective_block_bx
 
             cbx = (cw + 2 * p) // SAMPLE_BLOCK_SIZE
@@ -145,19 +143,44 @@ def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
             uv_out = deblock_tiles_pallas(uvt, *cmaps, beta, tc, chroma=True,
                                           block_by=chroma_block[0],
                                           block_bx=chroma_block[1])
-            uv_int = tiles_to_interior(uv_out, p, ch, cw, perm=cinv)
-            return _pack_out(buf, [(0, y_int), (h, uv_int.reshape(h // 2, w))],
-                             inplace)
+            return y_int, tiles_to_interior(uv_out, p, ch, cw, perm=cinv)
         ue, ve = deblock_chroma_ext_pallas(jnp.pad(u, p), jnp.pad(v, p),
                                            cm, beta, tc, chroma_block=chroma_block)
         uv_int = jnp.stack([ue[p : p + ch, p : p + cw], ve[p : p + ch, p : p + cw]])
-        return _pack_out(buf, [(0, y_int), (h, uv_int.reshape(h // 2, w))],
-                         inplace)
+        return y_int, uv_int
     y, u, v = (jnp.pad(t, p) for t in (y, u, v))  # extended planes, zero pad
     ye, ue, ve = deblock_frame(y, u, v, lm, cm, beta, tc, luma_only=luma_only)
-    parts = [(0, ye[p : p + h, p : p + w])]
+    y_int = ye[p : p + h, p : p + w]
+    if luma_only:
+        return y_int, uv
+    uv_int = jnp.stack([ue[p : p + ch, p : p + cw], ve[p : p + ch, p : p + cw]])
+    return y_int, uv_int
+
+
+def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
+                              luma_block=(BLOCK_BY, BLOCK_BX),
+                              chroma_block=CHROMA_BLOCK,
+                              yperms=None, luma_grid=None, inplace=False):
+    """Device-side: packed YV12 uint8 (3h/2, w) -> filtered packed YV12.
+
+    The buffer is 2-D ((3h/2, w) -- the same bytes as the flat YV12 file
+    order, viewed as rows): on TPU a 1-D buffer carries 1-D tiling, so every
+    1-D <-> 2-D reshape is a RETILING copy (~32 us/frame at 1080p,
+    device-trace measured).  With the 2-D view the luma plane is a leading
+    row-slice (tiling-preserving, free) and its write-back a row-aligned
+    dynamic-update-slice (free); only the chroma region pays a ~1 MB
+    retile to (2, ch, cw) and back.  The filter math is the planes contract
+    (_deblock_planes_impl); this wrapper just adds the packed-buffer
+    boundary."""
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    y = buf[:h]
+    uv = buf[h:].reshape(2, ch, cw)
+    y_int, uv_int = _deblock_planes_impl(
+        y, uv, lm, cm, beta, tc, w, h, luma_only, backend,
+        luma_block, chroma_block, yperms, luma_grid)
+    parts = [(0, y_int)]
     if not luma_only:
-        uv_int = jnp.stack([ue[p : p + ch, p : p + cw], ve[p : p + ch, p : p + cw]])
         parts.append((h, uv_int.reshape(h // 2, w)))
     return _pack_out(buf, parts, inplace)
 
@@ -175,6 +198,19 @@ _deblock_yv12_packed = functools.partial(jax.jit, static_argnames=_PACKED_STATIC
 # a fresh per-frame device_put (or chains step outputs), never a kept buffer.
 _deblock_yv12_packed_donated = jax.jit(
     _deblock_yv12_packed_impl, static_argnames=_PACKED_STATIC, donate_argnums=(0,))
+
+_PLANES_STATIC = ("w", "h", "luma_only", "backend", "luma_block",
+                  "chroma_block", "luma_grid")
+
+# planes contract: y/uv in, y/uv out (see _deblock_planes_impl).  The
+# donated form aliases both plane buffers output-to-input -- with
+# shape-preserving outputs XLA reuses the HBM in place, so the graph is
+# purely relayout dots + kernels, like the reference's in-place plane
+# filtering on its separate _gpu_Y/U/V buffers (gpu.cu:535-545, 1248-1250).
+_deblock_planes = functools.partial(jax.jit, static_argnames=_PLANES_STATIC)(
+    _deblock_planes_impl)
+_deblock_planes_donated = jax.jit(
+    _deblock_planes_impl, static_argnames=_PLANES_STATIC, donate_argnums=(0, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "h", "luma_only", "backend",
@@ -283,6 +319,36 @@ class StreamingDeblocker:
             luma_block=self._luma_block, chroma_block=self._chroma_block,
             yperms=self._yperms, luma_grid=self._luma_grid, inplace=True,
         )
+
+    def step_planes(self, y, uv):
+        """One deblock step at PLANE granularity: y (h, w) + uv (2, h/2, w/2)
+        uint8 device arrays -> (filtered y, filtered uv).
+
+        This is the like-for-like twin of the reference's device format --
+        separate per-plane buffers filtered in place (gpu.cu:1248-1250,
+        535-545) -- and skips the packed-buffer retile/write-back passes the
+        YV12 single-buffer contract pays.  CONSUMES both inputs on TPU (the
+        output buffers alias them); chain outputs or feed fresh device_puts.
+        For host-side packed YV12 streams use run()/_step instead."""
+        fn = (_deblock_planes_donated if jax.default_backend() == "tpu"
+              else _deblock_planes)
+        return fn(
+            y, uv, self._lm, self._cm, self._beta, self._tc,
+            w=self.width, h=self.height,
+            luma_only=self._luma_only, backend=self._backend,
+            luma_block=self._luma_block, chroma_block=self._chroma_block,
+            yperms=self._yperms, luma_grid=self._luma_grid,
+        )
+
+    def put_planes(self, frame):
+        """Host packed YV12 frame -> (y, uv) device plane buffers (two
+        H2D DMAs, mirroring the reference's per-plane cudaMemcpys,
+        gpu.cu:1248-1250)."""
+        arr = self._host_frame(frame)
+        w, h = self.width, self.height
+        y = jax.device_put(arr[: w * h].reshape(h, w))
+        uv = jax.device_put(arr[w * h :].reshape(2, h // 2, w // 2))
+        return y, uv
 
     def _step_borrow(self, dev_buf):
         """Non-donating step (input stays valid); same output values."""

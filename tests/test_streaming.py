@@ -142,3 +142,58 @@ def test_streaming_luma_only_pallas(rng):
                                 luma_only=True)
     assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
     assert np.array_equal(out[w * h :], raw[w * h :])  # chroma untouched
+
+
+class TestPlanesContract:
+    """step_planes/put_planes: the plane-granularity device contract (the
+    analogue of the reference's separate _gpu_Y/U/V buffers,
+    gpu.cu:1248-1250) must be bit-identical to the packed YV12 path on
+    every backend, geometry class, and luma_only."""
+
+    @pytest.mark.parametrize("backend", ["jnp", "pallas"])
+    def test_matches_golden_and_packed(self, rng, backend):
+        w, h, qp = 64, 48, 35
+        raw = _raw_frame(rng, w, h)
+        s = StreamingDeblocker(w, h, qp, backend=backend)
+        y, uv = s.step_planes(*s.put_planes(raw))
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), qp)
+        packed = np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
+        assert np.array_equal(np.asarray(y).ravel(), packed[: w * h])
+        assert np.array_equal(np.asarray(uv).ravel(), packed[w * h :])
+
+    def test_sheared_chroma_geometry(self, rng):
+        """w % 16 == 8 (Q9 sheared chroma) through the planes contract."""
+        w, h, qp = 88, 72, 35
+        raw = _raw_frame(rng, w, h)
+        s = StreamingDeblocker(w, h, qp, backend="pallas")
+        y, uv = s.step_planes(*s.put_planes(raw))
+        (out,) = list(StreamingDeblocker(w, h, qp, backend="jnp").run([raw]))
+        assert np.array_equal(np.asarray(y).ravel(), out[: w * h])
+        assert np.array_equal(np.asarray(uv).ravel(), out[w * h :])
+
+    def test_luma_only_passthrough(self, rng):
+        w, h = 64, 48
+        raw = _raw_frame(rng, w, h)
+        s = StreamingDeblocker(w, h, 35, backend="pallas", luma_only=True)
+        yd, uvd = s.put_planes(raw)
+        y, uv = s.step_planes(yd, uvd)
+        assert np.array_equal(np.asarray(uv).ravel(), raw[w * h :])
+        assert not np.array_equal(np.asarray(y).ravel(), raw[: w * h])
+
+    def test_chained_steps_match_packed_chain(self, rng):
+        """Chaining step_planes outputs == chaining packed _step outputs."""
+        import jax
+
+        w, h, qp = 64, 48, 35
+        raw = _raw_frame(rng, w, h)
+        s = StreamingDeblocker(w, h, qp, backend="pallas")
+        y, uv = s.put_planes(raw)
+        for _ in range(3):
+            y, uv = s.step_planes(y, uv)
+        buf = s._put(raw)
+        for _ in range(3):
+            buf = s._step(buf)
+        ref = np.asarray(jax.device_get(buf)).ravel()
+        assert np.array_equal(np.asarray(y).ravel(), ref[: w * h])
+        assert np.array_equal(np.asarray(uv).ravel(), ref[w * h :])

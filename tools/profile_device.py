@@ -15,6 +15,8 @@ Usage:
 Reports, for one N-step window of each pipeline:
   resident   : ResidentDeblocker.run_steps (kernels only, tile-planes state)
   packed     : N chained packed-YV12 steps (unpack -> kernels -> repack)
+  planes     : N chained plane-contract steps (separate y/uv buffers -- the
+               reference's actual device format, gpu.cu:1248-1250)
 with per-op-category device-time breakdowns (fused deblock kernels vs XLA
 copy/transpose/relayout passes vs everything else), so the layout-overhead
 claim in docs/PERF.md is backed by measured device numbers.
@@ -68,10 +70,13 @@ def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
 
         def run_packed():
             return [sd._chain(dev0, steps)]
+
+        run_planes = None
     else:
         # sd._step DONATES its input on TPU (in-place packed output): keep a
         # rotating set of chained step outputs instead of reusing inputs
         cells = [sd._step(sd._put(r)) for r in raws]
+        pcells = [sd.step_planes(*sd.put_planes(r)) for r in raws]
 
         def run_resident():
             return [rd.step(tfs[i % k]) for i in range(steps)]
@@ -81,15 +86,25 @@ def profile_pipelines(w: int = 1920, h: int = 1080, qp: int = 35,
                 cells[i % k] = sd._step(cells[i % k])
             return list(cells)
 
+        def run_planes():
+            for i in range(steps):
+                pcells[i % k] = sd.step_planes(*pcells[i % k])
+            return list(pcells)
+
     # compile everything OUTSIDE the trace windows
     jax.block_until_ready(run_resident())
     jax.block_until_ready(run_packed())
+    if run_planes is not None:
+        jax.block_until_ready(run_planes())
 
     base = out_dir or tempfile.mkdtemp(prefix="gvct_prof_")
     report: dict = {"geometry": f"{w}x{h}", "steps": steps, "mode": mode,
                     "trace_dir": base}
     luma_px = w * h
-    for label, fn in (("resident", run_resident), ("packed", run_packed)):
+    pipelines = [("resident", run_resident), ("packed", run_packed)]
+    if run_planes is not None:
+        pipelines.append(("planes", run_planes))
+    for label, fn in pipelines:
         d = os.path.join(base, label)
         with jax.profiler.trace(d):
             jax.block_until_ready(fn())
