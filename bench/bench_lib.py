@@ -660,6 +660,58 @@ def bench_device_fed(w: int = 1920, h: int = 1080, qp: int = 35, k: int = 4,
     }
 
 
+def bench_planes(w: int = 1920, h: int = 1080, qp: int = 35, k: int = 4,
+                 iters: int = 30) -> dict:
+    """Plane-contract full graph: separate y/uv device buffers in -> filtered
+    plane buffers out (StreamingDeblocker.step_planes), device-trace time.
+
+    This is the closest like-for-like to the reference's 'without copy'
+    bracket: the reference keeps Y/U/V in three separate device buffers
+    (_gpu_Y/U/V_ptr, gpu.cu:1248-1250) and filters them in place
+    (gpu.cu:535-545) -- it never materializes a packed YV12 buffer on
+    device.  Unlike the reference we still pay the plane <-> tile-planes
+    relayout inside this bracket (its kernels index the native layout
+    directly); the packed-graph row additionally pays the single-buffer
+    YV12 retile/write-back passes the reference never does."""
+    from gpu_video_codec_tpu.utils.tracing import profiled_device_us
+
+    s = StreamingDeblocker(w, h, qp)
+    cells = [s.step_planes(*s.put_planes(packed_yv12(synthetic_frame(w, h, seed=i))))
+             for i in range(k)]
+    jax.block_until_ready(cells)
+    idx = [0]
+
+    def chained():
+        i = idx[0] % k
+        cells[i] = s.step_planes(*cells[i])
+        idx[0] += 1
+        return cells[i]
+
+    prof = profiled_device_us(chained, iters=iters)
+    luma_px = w * h
+    out = {"config": f"{w}x{h} planes contract (separate y/uv HBM buffers, "
+                     "device time incl. relayout; reference device format, "
+                     "gpu.cu:1248-1250)"}
+    if prof is not None:
+        device_us = prof[0]
+        cats = prof[1]
+        out["device_us_per_frame"] = round(device_us, 2)
+        out["device_mpix_s"] = round(luma_px / device_us, 1)
+        out["device_split_us"] = {
+            "deblock_kernels": round(cats.get("deblock_kernels", 0.0), 2),
+            "layout_and_copies": round(cats.get("layout_and_copies", 0.0), 2),
+        }
+    else:  # CPU fallback (no device trace lanes): wall chained loop
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            chained()
+        jax.block_until_ready(cells)
+        device_us = (time.perf_counter() - t0) / iters * 1e6
+        out["device_us_per_frame"] = round(device_us, 2)
+        out["device_mpix_s"] = round(luma_px / device_us, 1)
+    return out
+
+
 def profile_trace(out_dir: str, qp: int = 35) -> str:
     """Capture a jax.profiler trace of one 1080p streaming step (the
     observability hook; reference has only chrono brackets, main.cu:41-45)."""
@@ -701,6 +753,7 @@ def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
     r = bench_1080p(backend="pallas", n_frames=n_frames)
     resident = bench_resident()
     devfed = bench_device_fed()
+    planes = bench_planes()
     value = r["kernel_mpix_s"]  # packed full-graph device rate
     link = link_h2d_microbench()
     sk = soak(n_frames=soak_frames)
@@ -721,6 +774,16 @@ def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
                 "kernel_us is the whole packed graph's device time (fused "
                 "deblock kernels + relayout dots + copies); "
                 "device_split_us carries the kernel vs layout split"),
+            "planes_full_graph": planes,
+            "planes_vs_baseline": (
+                round(planes["device_mpix_s"] / REF_KERNEL_MPIX_S, 2)
+                if "device_mpix_s" in planes else None),
+            "planes_note": (
+                "separate y/uv plane buffers in HBM -- the reference's "
+                "actual device format (three _gpu_Y/U/V buffers filtered in "
+                "place, gpu.cu:1248-1250, 535-545); the packed headline "
+                "additionally pays single-buffer YV12 retile/write-back "
+                "passes the reference never does"),
             "vs_north_star": round(value / NORTH_STAR_MPIX_S, 2),
             "resident_step_us": resident["step_us"],
             "resident_mpix_s": resident["mpix_s"],

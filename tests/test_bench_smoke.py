@@ -21,9 +21,9 @@ def test_headline_shape_contract(monkeypatch):
 
     # monkeypatch the geometry down so the contract test runs on CPU
     # (capture the originals first -- the lambdas must not recurse)
-    orig_soak, orig_link, orig_res, orig_df = (
+    orig_soak, orig_link, orig_res, orig_df, orig_pl = (
         bench_lib.soak, bench_lib.link_h2d_microbench, bench_lib.bench_resident,
-        bench_lib.bench_device_fed)
+        bench_lib.bench_device_fed, bench_lib.bench_planes)
     monkeypatch.setattr(bench_lib, "bench_1080p", lambda **kw: bench_lib.bench_stream(
         64, 48, backend="jnp", n_frames=4, repeats=1))
     monkeypatch.setattr(bench_lib, "soak", lambda **kw: orig_soak(n_frames=8, w=64, h=48))
@@ -33,10 +33,13 @@ def test_headline_shape_contract(monkeypatch):
                         lambda **kw: orig_res(w=64, h=48, iters=3))
     monkeypatch.setattr(bench_lib, "bench_device_fed",
                         lambda **kw: orig_df(w=64, h=48, k=2, n_steps=4, repeats=1))
+    monkeypatch.setattr(bench_lib, "bench_planes",
+                        lambda **kw: orig_pl(w=64, h=48, k=2, iters=3))
     out = bench_lib.headline()
     assert set(out) >= {"metric", "value", "unit", "vs_baseline"}
     for key in ("sustained_mpix_s", "link_h2d_gbs", "resident_step_us",
-                "pipelined_mpix_s", "device_fed_overlap", "vs_north_star"):
+                "pipelined_mpix_s", "device_fed_overlap", "vs_north_star",
+                "planes_full_graph", "planes_vs_baseline"):
         assert key in out["details"], key
     # round-3 headline contract: value IS the packed full-graph rate and
     # the metric says so (the resident kernel-only rate stays in details)
