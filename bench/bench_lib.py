@@ -317,6 +317,12 @@ def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
                     nat.append(native_rep(nt))
                     ref.append(ref_rep(nt))
                 n_best, r_best = min(nat), min(ref)
+                # Noise band: rep spread relative to best, per side.  On a
+                # 1-core host the spread IS the scheduling noise; a loss
+                # smaller than the combined band is not a real deficit.
+                n_spread = (max(nat) - n_best) / n_best
+                r_spread = (max(ref) - r_best) / r_best
+                margin = (r_best - n_best) / n_best  # + = native faster
                 rows.append({
                     "config": f"{label}, {nt} threads",
                     "native_s": n_best,
@@ -325,6 +331,10 @@ def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
                     "reference_mpix_s": round(w * h / r_best / 1e6, 1),
                     "native_over_reference": round(r_best / n_best, 3),
                     "native_wins": n_best <= r_best,
+                    "native_rep_spread": round(n_spread, 4),
+                    "reference_rep_spread": round(r_spread, 4),
+                    "loss_within_noise": bool(
+                        n_best > r_best and -margin <= max(n_spread, r_spread)),
                 })
     return {
         "qp": qp,
@@ -336,6 +346,14 @@ def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
                    "scaling -- the 1-thread rows are the per-core "
                    "comparison (reference README numbers were measured on "
                    "different, multi-core hardware)"),
+        "summary": {
+            "rows": len(rows),
+            "native_wins": sum(r["native_wins"] for r in rows),
+            "losses_within_noise": sum(r["loss_within_noise"] for r in rows),
+            "real_losses": sum(1 for r in rows
+                               if not r["native_wins"]
+                               and not r["loss_within_noise"]),
+        },
         "rows": rows,
     }
 
