@@ -246,6 +246,33 @@ def _timeit_once(f) -> float:
     return time.perf_counter() - t0
 
 
+def classify_interleaved_row(nat, ref, w: int, h: int) -> dict:
+    """Classify one interleaved (native reps, reference reps) pair.
+
+    best-of-reps per side; the noise band is each side's rep spread
+    relative to its best -- on a 1-core host the spread IS the scheduling
+    noise, so a native loss no larger than the wider of the two spreads is
+    `loss_within_noise`, not a real deficit.  Pure function (unit-tested in
+    tests/test_bench_noise.py); bench_cpu_interleaved feeds it measured
+    reps."""
+    n_best, r_best = min(nat), min(ref)
+    n_spread = (max(nat) - n_best) / n_best
+    r_spread = (max(ref) - r_best) / r_best
+    margin = (r_best - n_best) / n_best  # + = native faster
+    return {
+        "native_s": n_best,
+        "reference_s": r_best,
+        "native_mpix_s": round(w * h / n_best / 1e6, 1),
+        "reference_mpix_s": round(w * h / r_best / 1e6, 1),
+        "native_over_reference": round(r_best / n_best, 3),
+        "native_wins": n_best <= r_best,
+        "native_rep_spread": round(n_spread, 4),
+        "reference_rep_spread": round(r_spread, 4),
+        "loss_within_noise": bool(
+            n_best > r_best and -margin <= max(n_spread, r_spread)),
+    }
+
+
 def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
                           reps: int = 7, geometries=_GEOMETRIES,
                           ref_dir: str = "/root/reference/hevc_deblocking_filter") -> dict:
@@ -316,26 +343,8 @@ def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
                 for _ in range(reps):  # strict alternation
                     nat.append(native_rep(nt))
                     ref.append(ref_rep(nt))
-                n_best, r_best = min(nat), min(ref)
-                # Noise band: rep spread relative to best, per side.  On a
-                # 1-core host the spread IS the scheduling noise; a loss
-                # smaller than the combined band is not a real deficit.
-                n_spread = (max(nat) - n_best) / n_best
-                r_spread = (max(ref) - r_best) / r_best
-                margin = (r_best - n_best) / n_best  # + = native faster
-                rows.append({
-                    "config": f"{label}, {nt} threads",
-                    "native_s": n_best,
-                    "reference_s": r_best,
-                    "native_mpix_s": round(w * h / n_best / 1e6, 1),
-                    "reference_mpix_s": round(w * h / r_best / 1e6, 1),
-                    "native_over_reference": round(r_best / n_best, 3),
-                    "native_wins": n_best <= r_best,
-                    "native_rep_spread": round(n_spread, 4),
-                    "reference_rep_spread": round(r_spread, 4),
-                    "loss_within_noise": bool(
-                        n_best > r_best and -margin <= max(n_spread, r_spread)),
-                })
+                rows.append({"config": f"{label}, {nt} threads",
+                             **classify_interleaved_row(nat, ref, w, h)})
     return {
         "qp": qp,
         "reps_interleaved": reps,
