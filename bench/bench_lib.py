@@ -753,100 +753,105 @@ def profile_trace(out_dir: str, qp: int = 35) -> str:
     return out_dir
 
 
-def headline(n_frames: int = 50, soak_frames: int = 400) -> dict:
-    """The driver-facing single metric: filtered Mpix/s/chip at 1080p YV12
-    through the PACKED FULL GRAPH -- raw YV12 bytes in HBM -> filtered YV12
-    bytes in HBM, device-trace time, including every layout pass the packed
-    contract requires.  This is the like-for-like analogue of the
-    reference's best published bracket ('GPU kernel time without copy',
-    CUDA-event around kernels operating on its natural device format,
-    gpu.cu:1264-1294 / README.md:24 = 744 Mpix/s pinned), which vs_baseline
-    divides by: the reference's device format IS the packed planes, so its
-    no-copy bracket covers the same contract this graph covers.
+def _devfed_row(d: dict) -> dict:
+    """Compact numeric projection of a bench_device_fed result."""
+    return {
+        "wall_us": d["wall_us_per_frame"],
+        "wall_mpix_s": d["wall_mpix_s"],
+        "device_us": d["device_us_per_frame"],
+        "device_mpix_s": d["device_mpix_s"],
+        "wire_gbs": d["wire_gbs_to_sustain_device_rate"],
+    }
 
-    The device-RESIDENT kernel-only rate (tile-planes in/out, layout paid
-    once at the pipeline boundary) is reported alongside in details as the
-    upside for producers/consumers that keep frames on device -- it is NOT
-    the headline because the reference has no layout cost to exclude
-    (round-2 verdict correction).
 
-    METHODOLOGY (round-2 correction, still in force): everything here is
-    device-trace time or completion-forced wall time (utils/tracing.py;
-    docs/PERF.md).  details carries the honesty kit: kernel/layout split,
-    per-dispatch wall (RTT-bound here), burst + SUSTAINED soak rates, a
-    pure device_put link microbench proving where the host-fed ceiling
-    comes from, and the device-fed overlap harness that isolates the
-    pipeline machinery from the dev tunnel's wire."""
+def _planes_row(p: dict) -> dict:
+    """Compact numeric projection of a bench_planes result."""
+    out = {"device_us": p["device_us_per_frame"],
+           "device_mpix_s": p["device_mpix_s"]}
+    if "device_split_us" in p:
+        out["split_us"] = p["device_split_us"]
+    return out
+
+
+def assemble_headline(r: dict, resident: dict, devfed: dict, planes: dict,
+                      link: dict, sk: dict, devfed_4k: dict | None = None,
+                      planes_4k: dict | None = None) -> dict:
+    """Assemble the driver-facing headline record from raw bench results.
+
+    PURE (no measurement) and deliberately COMPACT: the driver captures only
+    the tail of bench.py's stdout, and round 3's record was truncated past
+    parseability by prose notes embedded in the JSON line.  Every number
+    stays; every multi-sentence note lives in docs/PERF.md ("Headline
+    record" section).  tests/test_bench_smoke.py pins the serialized size
+    under the driver's capture window so this can never regress.
+
+    Semantics (full prose in docs/PERF.md): `value` is the packed
+    full-graph device rate at 1080p -- YV12 bytes in HBM -> filtered YV12
+    bytes in HBM, device-trace time incl. all layout -- the like-for-like
+    analogue of the reference's best bracket ('GPU kernel time without
+    copy' on its natural device format, gpu.cu:1264-1294 / README.md:24 =
+    744 Mpix/s pinned), which vs_baseline divides by."""
+    value = r["kernel_mpix_s"]
+    frame_mb = 3.1  # packed 1080p YV12
+    link_bound_mpix_s = link["gb_s"] * 1e3 / frame_mb * 1920 * 1080 / 1e6
+    packed = {"kernel_us": round(r["kernel_us"], 2),
+              "h2d_us": round(r["h2d_us"], 1),
+              "dispatch_us": round(r["dispatch_us"], 1)}
+    if "device_split_us" in r:
+        packed["split_us"] = r["device_split_us"]
+    details = {
+        "vs_north_star": round(value / NORTH_STAR_MPIX_S, 2),
+        "packed_full_graph": packed,
+        "planes_full_graph": _planes_row(planes),
+        "planes_vs_baseline": round(planes["device_mpix_s"] / REF_KERNEL_MPIX_S, 2),
+        "resident_step_us": round(resident["step_us"], 2),
+        "resident_mpix_s": round(resident["mpix_s"], 1),
+        "resident_dispatch_us": round(resident["dispatch_us"], 1),
+        "device_fed_overlap": _devfed_row(devfed),
+        "pipelined_mpix_s": round(r["pipelined_mpix_s"], 2),
+        "pipelined_fps": round(r["pipelined_fps"], 2),
+        "pipelined_vs_reference_e2e": round(r["pipelined_mpix_s"] / REF_E2E_MPIX_S, 2),
+        "sustained_mpix_s": round(sk["sustained_mpix_s"], 1),
+        "link_h2d_gbs": round(link["gb_s"], 3),
+        "link_bound_mpix_s": round(link_bound_mpix_s, 1),
+        "ref": {"kernel_mpix_s": REF_KERNEL_MPIX_S, "e2e_mpix_s": REF_E2E_MPIX_S,
+                "north_star_mpix_s": NORTH_STAR_MPIX_S},
+        "device": device_info()["device_kind"],
+        "notes": "docs/PERF.md#headline-record",
+    }
+    if devfed_4k is not None:
+        details["device_fed_4k"] = _devfed_row(devfed_4k)
+    if planes_4k is not None:
+        details["planes_4k"] = _planes_row(planes_4k)
+    return {
+        "metric": ("filtered Mpix/s/chip, 1080p YV12 packed full graph "
+                   "(HBM->HBM device time incl. all layout)"),
+        "value": round(value, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
+        "details": details,
+    }
+
+
+def headline(n_frames: int = 50, soak_frames: int = 400,
+             with_4k: bool = True) -> dict:
+    """The driver-facing single metric (see assemble_headline for the
+    contract and docs/PERF.md "Headline record" for the full methodology
+    prose).  Runs the packed 1080p graph, the planes/resident/device-fed
+    brackets at 1080p AND 4K (config 5 scale), the link microbench and the
+    sustained soak, then assembles the compact record."""
     r = bench_1080p(backend="pallas", n_frames=n_frames)
     resident = bench_resident()
     devfed = bench_device_fed()
     planes = bench_planes()
-    value = r["kernel_mpix_s"]  # packed full-graph device rate
     link = link_h2d_microbench()
     sk = soak(n_frames=soak_frames)
-    frame_mb = 3.1  # packed 1080p YV12
-    link_bound_mpix_s = link["gb_s"] * 1e3 / frame_mb * 1920 * 1080 / 1e6
-    return {
-        "metric": ("filtered Mpix/s/chip at 1080p YV12, packed full graph "
-                   "(YV12 bytes in HBM -> filtered YV12 bytes in HBM, device "
-                   "time incl. all layout, no host copy)"),
-        "value": round(value, 1),
-        "unit": "Mpix/s",
-        "vs_baseline": round(value / REF_KERNEL_MPIX_S, 2),
-        "details": {
-            "packed_full_graph": {
-                k: (round(v, 2) if isinstance(v, float) else v) for k, v in r.items()
-            },
-            "packed_note": (
-                "kernel_us is the whole packed graph's device time (fused "
-                "deblock kernels + relayout dots + copies); "
-                "device_split_us carries the kernel vs layout split"),
-            "planes_full_graph": planes,
-            "planes_vs_baseline": (
-                round(planes["device_mpix_s"] / REF_KERNEL_MPIX_S, 2)
-                if "device_mpix_s" in planes else None),
-            "planes_note": (
-                "separate y/uv plane buffers in HBM -- the reference's "
-                "actual device format (three _gpu_Y/U/V buffers filtered in "
-                "place, gpu.cu:1248-1250, 535-545); the packed headline "
-                "additionally pays single-buffer YV12 retile/write-back "
-                "passes the reference never does"),
-            "vs_north_star": round(value / NORTH_STAR_MPIX_S, 2),
-            "resident_step_us": resident["step_us"],
-            "resident_mpix_s": resident["mpix_s"],
-            "resident_dispatch_us": resident["dispatch_us"],
-            "resident_note": (
-                "device-resident steady state (tile-planes in/out): layout "
-                "paid once at the pipeline boundary, per-step graph is "
-                "exactly the fused kernels -- the upside for on-device "
-                "producers/consumers, not comparable to the reference's "
-                "no-copy bracket"),
-            "device_fed_overlap": devfed,
-            "pipelined_mpix_s": round(r["pipelined_mpix_s"], 2),
-            "pipelined_fps": round(r["pipelined_fps"], 2),
-            "pipelined_vs_reference_e2e": round(r["pipelined_mpix_s"] / REF_E2E_MPIX_S, 2),
-            "sustained_mpix_s": round(sk["sustained_mpix_s"], 1),
-            "sustained_note": f"post-burst median over a {sk['frames']}-frame soak; "
-                              "burst vs sustained is a property of the dev tunnel link",
-            "link_h2d_gbs": round(link["gb_s"], 3),
-            "link_bound_mpix_s": round(link_bound_mpix_s, 1),
-            "pipelined_note": (
-                "host-fed copy-overlap pipeline; H2D-bound -- compare "
-                "pipelined_mpix_s with link_bound_mpix_s (pure device_put "
-                f"ceiling at {round(link['gb_s'], 2)} GB/s measured on this "
-                "link); device_fed_overlap shows the same machinery with "
-                "the wire removed"),
-            "methodology": (
-                "device-trace timing (utils/tracing.py); round-1 wall-clock "
-                "kernel numbers were dispatch artifacts and are superseded; "
-                "round-3 headline moved from resident kernel-only to the "
-                "packed full graph (like-for-like vs the reference bracket)"),
-            "reference_best_kernel_mpix_s": REF_KERNEL_MPIX_S,
-            "reference_best_e2e_mpix_s": REF_E2E_MPIX_S,
-            "north_star_mpix_s": NORTH_STAR_MPIX_S,
-            "device": device_info(),
-        },
-    }
+    devfed_4k = planes_4k = None
+    if with_4k:
+        devfed_4k = bench_device_fed(w=3840, h=2160, k=3, n_steps=60)
+        planes_4k = bench_planes(w=3840, h=2160, k=3)
+    return assemble_headline(r, resident, devfed, planes, link, sk,
+                             devfed_4k, planes_4k)
 
 
 if __name__ == "__main__":
