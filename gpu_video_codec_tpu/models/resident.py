@@ -312,20 +312,30 @@ class ResidentDeblocker:
 
     def host_buf(self, frame) -> np.ndarray:
         """Normalize one packed frame (bytes / any uint8 array whose total
-        size is frame_bytes) or an (n, frame_bytes) batch to a validated
-        uint8 ndarray."""
+        size is frame_bytes) or a frame batch to a validated uint8 ndarray.
+
+        Batch forms are recognized STRUCTURALLY -- the trailing dims after a
+        leading batch axis must multiply to frame_bytes (so (n, 3wh/2),
+        (n, 3h/2, w), and in particular a batch of ONE keep their batch
+        axis), or a 2-D row stack (n*3h/2, w) whose row width is the frame
+        width.  Anything else whose size merely divides by frame_bytes
+        (e.g. a transposed (frame_bytes, n) array) is rejected rather than
+        silently reinterpreted as scrambled frames."""
         arr = (np.frombuffer(frame, np.uint8)
                if isinstance(frame, (bytes, bytearray))
                else np.asarray(frame, np.uint8))
-        if arr.ndim == 2 and arr.shape[-1] == self.frame_bytes:
-            return arr  # already a frame batch
+        if arr.ndim >= 2 and int(np.prod(arr.shape[1:])) == self.frame_bytes:
+            return arr.reshape(-1, self.frame_bytes)  # batch (incl. n == 1)
         if arr.size == self.frame_bytes:  # single frame in any layout
             return arr.ravel()
-        if arr.ndim > 1 and arr.size % self.frame_bytes == 0:
-            return arr.reshape(-1, self.frame_bytes)
+        if (arr.ndim == 2 and arr.shape[1] == self.width
+                and arr.size % self.frame_bytes == 0):
+            return arr.reshape(-1, self.frame_bytes)  # stacked frame rows
         raise ValueError(
-            f"frame must be {self.frame_bytes} bytes (or an (n, {self.frame_bytes}) "
-            f"batch), got shape {arr.shape}")
+            f"frame must be {self.frame_bytes} bytes, an (n, {self.frame_bytes}) "
+            f"/ (n, {3 * self.height // 2}, {self.width}) batch, or a "
+            f"(n*{3 * self.height // 2}, {self.width}) row stack; got shape "
+            f"{arr.shape}")
 
     _host_buf = host_buf  # backward-compatible alias
 

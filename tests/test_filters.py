@@ -10,7 +10,9 @@ import numpy as np
 import pytest
 
 import golden
-from gpu_video_codec_tpu.ops.filters import chroma_edge_filter, luma_edge_filter
+from gpu_video_codec_tpu.ops.filters import (
+    chroma_edge_filter, luma_edge_filter, luma_segment_decisions,
+)
 from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
 
 QPS = [0, 15, 16, 17, 18, 20, 27, 35, 43, 51, 60]
@@ -72,6 +74,29 @@ def test_chroma_filter_matches_golden(rng, qp, smooth):
             gp, gq = pi, qi
         assert vp[:, :, i, 0].tolist() == gp, f"chroma P mismatch seg {i} qp={qp}"
         assert vq[:, :, i, 0].tolist() == gq, f"chroma Q mismatch seg {i} qp={qp}"
+
+
+@pytest.mark.parametrize("qp", [0, 17, 27, 35, 51])
+@pytest.mark.parametrize("smooth", [False, True])
+def test_luma_segment_decisions_match_golden(rng, qp, smooth):
+    """The public decision wrapper (cond1 / strong-select, cpu.h:1074-1114)
+    must agree with the scalar oracle's check_local_adaptivity +
+    is_strong_filter on random segments -- including the convention that
+    `strong` is only meaningful where cond1 holds (the oracle evaluates
+    is_strong_filter only after cond1 passes, cpu.h:1370-1373)."""
+    beta, tc = get_beta(qp), get_tc(qp)
+    n = 256
+    p, q = _random_segments(rng, n, 4, smooth)
+    cond1, strong = luma_segment_decisions(p, q, beta, tc)
+    cond1, strong = np.asarray(cond1), np.asarray(strong)
+    for i in range(n):
+        pi = [[int(p[r, j, i, 0]) for j in range(4)] for r in range(4)]
+        qi = [[int(q[r, j, i, 0]) for j in range(4)] for r in range(4)]
+        g1 = golden.check_local_adaptivity(pi, qi, beta)
+        assert bool(cond1[i, 0]) == g1, f"cond1 mismatch seg {i} qp={qp}"
+        if g1:  # oracle's dispatch order: strong only evaluated under cond1
+            gs = golden.is_strong_filter(pi, qi, beta, tc)
+            assert bool(strong[i, 0]) == gs, f"strong mismatch seg {i} qp={qp}"
 
 
 def test_strong_filter_hand_case():

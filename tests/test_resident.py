@@ -234,6 +234,40 @@ def test_resident_host_buf_planar_single_frame(rng):
     assert np.array_equal(out_b[0], out_flat)
 
 
+def test_resident_host_buf_batch_of_one(rng):
+    """A 3-D batch of exactly one frame (1, 3h/2, w) must KEEP its batch axis
+    (ADVICE r3: the old size==frame_bytes check ran first and flattened it,
+    which made MeshResidentDeblocker reject a legitimate batch-of-one)."""
+    w, h = 64, 48
+    rd = ResidentDeblocker(w, h, 35)
+    raw = rng.integers(0, 256, 3 * w * h // 2, dtype=np.uint8)
+    one = raw.reshape(1, 3 * h // 2, w)
+    buf = rd.host_buf(one)
+    assert buf.shape == (1, 3 * w * h // 2)
+    out = rd(one)
+    assert out.shape == (1, 3 * w * h // 2)
+    assert np.array_equal(out[0], rd(raw))
+
+
+def test_resident_host_buf_rejects_scrambled_shapes(rng):
+    """Multi-dim buffers whose size merely divides by frame_bytes but whose
+    structure is not a frame batch (e.g. transposed (frame_bytes, n)) must
+    raise, not be silently reinterpreted as scrambled frames (ADVICE r3)."""
+    w, h = 64, 48
+    fb = 3 * w * h // 2
+    rd = ResidentDeblocker(w, h, 35)
+    transposed = rng.integers(0, 256, (fb, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="batch"):
+        rd.host_buf(transposed)
+    # a leading batch axis with ANY trailing layout that multiplies to
+    # frame_bytes is a batch (symmetric with the single-frame any-layout rule)
+    odd = rng.integers(0, 256, (2, fb // 2, 2), dtype=np.uint8)
+    assert rd.host_buf(odd).shape == (2, fb)
+    # and a legitimate (n*3h/2, w) row stack is recognized
+    stack = rng.integers(0, 256, (2 * 3 * h // 2, w), dtype=np.uint8)
+    assert rd.host_buf(stack).shape == (2, fb)
+
+
 def test_resident_operands_contract(rng):
     """StepOperands round-trip: operands -> install_operands keeps the
     pipeline bit-identical (the contract parallel/resident_mesh.py relies
