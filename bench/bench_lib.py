@@ -396,44 +396,34 @@ def bench_4k_multistream(n_streams: int = 4, frames_per_stream: int = 10,
                          w: int = 3840, h: int = 2160) -> dict:
     """BASELINE config 5: multi-stream 4K deblock.
 
-    On a multi-chip mesh the streams shard across devices (parallel/mesh.py);
-    on a single chip the streams interleave through the async dispatch queue,
-    which is the single-device projection of the same workload.
+    On a multi-chip mesh the streams go through MultiStreamDeblocker's packed
+    single-DMA sharded graph (parallel/multistream.py); on a single chip the
+    streams interleave through the async dispatch queue, which is the
+    single-device projection of the same workload.
     """
-    import jax.numpy as jnp
-
     raw = packed_yv12(synthetic_frame(w, h))
     n_dev = len(jax.devices())
     if n_dev > 1:
-        from gpu_video_codec_tpu.ops.tables import get_beta, get_tc
-        from gpu_video_codec_tpu.parallel.mesh import (
-            default_mesh_shape, deblock_batch_sharded_jit, make_mesh,
-        )
-        from gpu_video_codec_tpu.utils.bs import (
-            BoundaryStrength, chroma_segment_maps, luma_segment_maps,
-        )
-        from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes
+        from gpu_video_codec_tpu.parallel import MultiStreamDeblocker
+        from gpu_video_codec_tpu.parallel.mesh import default_mesh_shape, make_mesh
 
-        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
-        bs = BoundaryStrength.intra_default(w, h)
         mesh = make_mesh(*default_mesh_shape(n_dev))
         n = max(n_streams, mesh.shape["data"])
-        ys = jnp.asarray(np.stack([frame.y] * n))
-        us = jnp.asarray(np.stack([frame.u] * n))
-        vs = jnp.asarray(np.stack([frame.v] * n))
-        args = (ys, us, vs, luma_segment_maps(bs), chroma_segment_maps(bs),
-                get_beta(qp), get_tc(qp))
-        out = deblock_batch_sharded_jit(mesh, *args)
-        jax.block_until_ready(out)
+        ms = MultiStreamDeblocker(mesh, n, w, h, qp, backend=backend
+                                  if backend in ("jnp", "pallas") else "jnp")
+        raws = [raw] * n
+        jax.block_until_ready(ms._dispatch(raws))  # compile warm-up
         t0 = time.perf_counter()
+        out = None
         for _ in range(frames_per_stream):
-            out = deblock_batch_sharded_jit(mesh, *args)
+            out = ms._dispatch(raws)  # one packed H2D + sharded graph per step
         # completion-forcing read (block_until_ready can return early on the
         # dev tunnel; harmless on other backends)
-        jax.device_get(out[0].ravel()[:1])
+        jax.device_get(out.ravel()[:1])
         dt = (time.perf_counter() - t0) / frames_per_stream
         return {
-            "config": f"4K x{n} streams sharded over {n_dev} devices",
+            "config": f"4K x{n} streams sharded over {n_dev} devices "
+                      "(packed single-DMA ingest)",
             "batch_s": dt,
             "mpix_s": n * w * h / dt / 1e6,
         }

@@ -33,6 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.deblock import deblock_frame
+from ..ops.tables import HALF_BLOCK
 from ..utils.tiles import SAMPLE_BLOCK_SIZE as _B, split_covered
 
 
@@ -145,6 +146,64 @@ def deblock_batch_sharded(
     yo = yo[:, : by * _B]
     uo, vo = uo[:, : cby * _B], vo[:, : cby * _B]
     return yo, u_paste(uo, jnp), v_paste(vo, jnp)
+
+
+def deblock_packed_batch_sharded(mesh, buf, luma_maps, chroma_maps, beta, tc,
+                                 *, w, h, luma_only=False, backend="jnp"):
+    """Packed sharded full graph: (N, 3wh/2) raw YV12 batch in -> filtered
+    (N, 3wh/2) batch out, everything between the DMAs on device.
+
+    This is the mesh twin of the single-chip packed graph
+    (models/streaming._deblock_yv12_packed_impl): plane split, Q6 zero
+    extension padding, the sharded deblock, interior slicing and output
+    repack all run inside ONE jit, so the host ships exactly the packed
+    bytes (one H2D per step) and gets exactly the packed bytes back --
+    never the ~1.35x extended planes, and never a host-side np.pad.  The
+    reference's pinned-memory copies (gpu.cu:1248-1256) shipped extended
+    planes per frame; ours ships the minimal transfer, like everywhere
+    else in this repo.  Pad/reshape/slice are per-frame elementwise over
+    the batch, so GSPMD carries the batch sharding through to the
+    shard_map'ed filter and back."""
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    n = buf.shape[0]
+    pad = ((0, 0), (p, p), (p, p))
+    y = jnp.pad(buf[:, : w * h].reshape(n, h, w), pad)
+    u = jnp.pad(buf[:, w * h : w * h + cw * ch].reshape(n, ch, cw), pad)
+    v = jnp.pad(buf[:, w * h + cw * ch :].reshape(n, ch, cw), pad)
+    yo, uo, vo = deblock_batch_sharded(mesh, y, u, v, luma_maps, chroma_maps,
+                                       beta, tc, luma_only=luma_only,
+                                       backend=backend)
+    return jnp.concatenate([
+        yo[:, p : p + h, p : p + w].reshape(n, h * w),
+        uo[:, p : p + ch, p : p + cw].reshape(n, ch * cw),
+        vo[:, p : p + ch, p : p + cw].reshape(n, ch * cw),
+    ], axis=-1)
+
+
+@functools.lru_cache(maxsize=32)
+def _packed_sharded_jit(mesh: Mesh, w: int, h: int, luma_only: bool,
+                        backend: str):
+    return jax.jit(functools.partial(deblock_packed_batch_sharded, mesh,
+                                     w=w, h=h, luma_only=luma_only,
+                                     backend=backend))
+
+
+def deblock_packed_batch_sharded_jit(mesh, buf, *args, w, h, luma_only=False,
+                                     backend="jnp"):
+    """jit-wrapped packed sharded graph (compiles once per geometry/mesh)."""
+    return _packed_sharded_jit(mesh, w, h, luma_only, backend)(buf, *args)
+
+
+def packed_batch_sharding(mesh: Mesh, frame_bytes: int) -> NamedSharding:
+    """Input sharding for a packed (N, frame_bytes) batch: frames across
+    "data", and frame BYTES across "spatial" when it exists and divides --
+    so the total host->HBM volume is exactly the packed bytes (each byte
+    lands on one chip; GSPMD redistributes byte slabs into tile-row slabs
+    over ICI, which is orders of magnitude faster than the host wire)."""
+    if "spatial" in mesh.shape and frame_bytes % mesh.shape["spatial"] == 0:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P("data"))
 
 
 @functools.lru_cache(maxsize=32)

@@ -1,15 +1,19 @@
 """Multi-stream deblocking over a device mesh (BASELINE config 5).
 
-Wraps parallel/mesh.py's sharded batch step in a streaming interface: N
+Wraps parallel/mesh.py's PACKED sharded graph in a streaming interface: N
 concurrent YV12 streams (e.g. N cameras or N transcode jobs) are zipped into
-per-step frame batches, sharded over the ("data", "spatial") mesh -- frames
-across the data axis, tile-row slabs across the spatial axis -- and returned
-per stream, with the same copy/compute overlap story as the single-chip
-pipeline: run() keeps `depth` batches in flight through JAX's async dispatch
-queue, so batch i+1's host prep + H2D proceed under batch i's kernels and
-only the oldest batch is drained per step (steady state = max(copy, compute)
-per batch, not copy + compute -- the serialized copy->kernel->copy of the
-reference's ExecuteGpu, gpu.cu:1248-1298, is the anti-pattern).
+per-step (N, 3wh/2) packed batches, shipped host->HBM as ONE DMA per step
+(frames across the "data" axis, frame bytes across "spatial" -- the wire
+carries exactly the packed bytes), then split/padded/filtered/repacked
+entirely on device (frames over "data", tile-row slabs over "spatial") and
+returned per stream.  Copy/compute overlap matches the single-chip pipeline:
+run() keeps `depth` batches in flight through JAX's async dispatch queue, so
+batch i+1's host prep + H2D proceed under batch i's kernels and only the
+oldest batch is drained per step (steady state = max(copy, compute) per
+batch, not copy + compute -- the serialized copy->kernel->copy of the
+reference's ExecuteGpu, gpu.cu:1248-1298, is the anti-pattern; its pinned
+copies also shipped the ~1.35x extended planes, gpu.cu:1094-1132, where this
+path ships the minimal packed buffer and pads on device).
 
 The reference has no distributed analogue (single GPU, single stream,
 gpu.cu:1230-1306); this is the TPU-native scaling story for its hypothetical
@@ -24,9 +28,10 @@ from collections.abc import Iterable, Iterator, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .mesh import deblock_batch_sharded_jit
-from ..ops.tables import HALF_BLOCK, get_beta, get_tc
+from .mesh import deblock_packed_batch_sharded_jit, packed_batch_sharding
+from ..ops.tables import get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
 from ..utils.yuv import check_dims
 
@@ -55,54 +60,58 @@ class MultiStreamDeblocker:
         self.backend = backend
         self.luma_only = luma_only
         self.depth = max(1, depth)
-        bs = bs or BoundaryStrength.intra_default(width, height)
-        self._lm = luma_segment_maps(bs)
-        self._cm = chroma_segment_maps(bs)
-        self._beta, self._tc = get_beta(qp), get_tc(qp)
+        # replicate the constant step operands over the mesh once (a fresh
+        # host array per step would re-upload the maps every dispatch)
+        rep = NamedSharding(mesh, P())
+        self.update_boundary_strength(
+            bs or BoundaryStrength.intra_default(width, height))
+        self._beta = jax.device_put(jnp.int32(get_beta(qp)), rep)
+        self._tc = jax.device_put(jnp.int32(get_tc(qp)), rep)
+        self._in_sharding = packed_batch_sharding(mesh, self.frame_bytes)
 
-    def _to_planes(self, raws: Sequence) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        w, h = self.width, self.height
-        cw, ch = w // 2, h // 2
-        p = HALF_BLOCK
-        ys, us, vs = [], [], []
+    def update_boundary_strength(self, bs: BoundaryStrength) -> None:
+        """Install new BS arrays mesh-wide mid-stream (the SetBoundaryStrenght
+        story, cpu.h:120-132; no recompile -- maps are step arguments)."""
+        if (bs.width, bs.height) != (self.width, self.height):
+            raise ValueError("BoundaryStrength geometry mismatch")
+        rep = NamedSharding(self.mesh, P())
+        self._lm = tuple(jax.device_put(jnp.asarray(m), rep)
+                         for m in luma_segment_maps(bs))
+        self._cm = tuple(jax.device_put(jnp.asarray(m), rep)
+                         for m in chroma_segment_maps(bs))
+
+    def _stack(self, raws: Sequence) -> np.ndarray:
+        """Validate and stack N packed frames to one (N, 3wh/2) buffer --
+        no plane splitting and NO padding on the host (both happen on
+        device inside the sharded jit, parallel/mesh.py
+        deblock_packed_batch_sharded)."""
+        rows = []
         for raw in raws:
             arr = (np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray))
                    else np.asarray(raw, np.uint8).ravel())
             if arr.size != self.frame_bytes:
                 raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
-            ys.append(np.pad(arr[: w * h].reshape(h, w), p))
-            us.append(np.pad(arr[w * h : w * h + cw * ch].reshape(ch, cw), p))
-            vs.append(np.pad(arr[w * h + cw * ch :].reshape(ch, cw), p))
-        return np.stack(ys), np.stack(us), np.stack(vs)
+            rows.append(arr)
+        return np.stack(rows)
 
     def _dispatch(self, raws: Sequence):
-        """Enqueue one sharded batch (H2D + kernels) WITHOUT draining: returns
-        device arrays still in flight behind JAX's async dispatch queue."""
+        """Enqueue one sharded batch WITHOUT draining: ONE packed H2D (frames
+        across "data", frame bytes across "spatial" -- total wire volume is
+        exactly the packed bytes), then the on-device split/pad/filter/repack
+        graph, still in flight behind JAX's async dispatch queue."""
         if len(raws) != self.n:
             raise ValueError(f"expected {self.n} frames (one per stream), got {len(raws)}")
-        ys, us, vs = self._to_planes(raws)
-        return deblock_batch_sharded_jit(
-            self.mesh, jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
-            self._lm, self._cm, self._beta, self._tc,
+        buf = jax.device_put(self._stack(raws), self._in_sharding)
+        return deblock_packed_batch_sharded_jit(
+            self.mesh, buf, self._lm, self._cm, self._beta, self._tc,
+            w=self.width, h=self.height,
             luma_only=self.luma_only, backend=self.backend,
         )
 
-    def _drain(self, handles) -> list[np.ndarray]:
-        """Block on one in-flight batch and repack per stream."""
-        yo, uo, vo = handles
-        yo = jax.device_get(yo)
-        uo = jax.device_get(uo)
-        vo = jax.device_get(vo)
-        w, h, p = self.width, self.height, HALF_BLOCK
-        cw, ch = w // 2, h // 2
-        return [
-            np.concatenate([
-                yo[i, p : p + h, p : p + w].ravel(),
-                uo[i, p : p + ch, p : p + cw].ravel(),
-                vo[i, p : p + ch, p : p + cw].ravel(),
-            ])
-            for i in range(self.n)
-        ]
+    def _drain(self, handle) -> list[np.ndarray]:
+        """Block on one in-flight batch: a single packed (N, 3wh/2) D2H."""
+        out = jax.device_get(handle)
+        return [out[i] for i in range(self.n)]
 
     def step(self, raws: Sequence) -> list[np.ndarray]:
         """One synchronous sharded batch step: one frame per stream in,

@@ -62,6 +62,40 @@ def test_multistream_validation(rng):
         ms.step([np.zeros(5, np.uint8)] * 2)  # wrong frame size
 
 
+def test_multistream_update_boundary_strength(rng):
+    """Mid-stream BS swap (SetBoundaryStrenght parity, cpu.h:120-132) on the
+    packed sharded path: steps after the swap must match the golden oracle
+    under the NEW maps, with no recompile of the sharded graph."""
+    w, h, qp = 64, 48, 35
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 2, w, h, qp)
+    # smooth-ish frames so cond1 passes and the vertical edges really filter
+    # (pure-noise frames rarely clear the local-adaptivity gate, which would
+    # make the with/without-BS outputs trivially identical)
+    raws = [(np.arange(3 * w * h // 2, dtype=np.int64) // w % 256
+             + rng.integers(-3, 4, 3 * w * h // 2)).astype(np.uint8)
+            for _ in range(2)]
+    default_bs = BoundaryStrength.intra_default(w, h)
+    out_default = ms.step(raws)
+
+    custom = BoundaryStrength.intra_default(w, h)
+    custom.vert[:] = 0  # kill all vertical luma edges
+    ms.update_boundary_strength(custom)
+    out_custom = ms.step(raws)
+    assert not np.array_equal(out_default[0], out_custom[0])
+    for raw, out in zip(raws, out_custom):
+        gold = deblock_frame_golden(
+            planes_from_yv12_bytes(raw.tobytes(), w, h), custom, qp)
+        assert np.array_equal(out, np.frombuffer(
+            yv12_bytes_from_planes(gold), np.uint8))
+    with pytest.raises(ValueError):
+        ms.update_boundary_strength(BoundaryStrength.intra_default(w, h * 2))
+    # geometry-matched default still reproduces the original outputs
+    ms.update_boundary_strength(default_bs)
+    assert all(np.array_equal(a, b)
+               for a, b in zip(ms.step(raws), out_default))
+
+
 def test_multistream_q9_geometry(rng):
     w, h, qp = 56, 72, 35
     mesh = make_mesh(2, 4)
