@@ -128,6 +128,44 @@ def build_reference(ref_dir: str, workdir: str) -> str:
     return exe
 
 
+def _ub_masked_diffs(o, r, ww, hh, chroma_ub=False, band=4):
+    """Diffs outside every region the reference's UB can reach.
+
+    UB sources: (a) uninitialized padding bytes feed any tile of the sweep
+    whose 8x8 extent contains one (Q6) -- under the Q9 shear those tiles
+    form diagonal stripes through the interior, not just a border band;
+    (b) chroma ver2/hor2 BS reads go out of bounds for the last sweep tile
+    row (Q2 x Q9, cpu.h:515/645 testing with LUMA block counts).  Mask is
+    tile-granular: any output pixel living in an affected sweep tile is
+    excluded.  Shared by the fuzz campaign and the fullscale check.
+    """
+    import numpy as np
+
+    o2 = o.reshape(hh, ww).astype(int)
+    r2 = r.reshape(hh, ww).astype(int)
+    wext, hext = ww + 2 * band, hh + 2 * band
+    ncby, ncbx = hext // 8, wext // 8
+    vh, vw = ncby * 8, ncbx * 8
+    # true-layout padding map -> sheared view -> tainted tiles
+    pad = np.ones((hext, wext), bool)
+    pad[band : band + hh, band : band + ww] = False
+    pad_sheared = pad.ravel()[: vh * vw].reshape(vh, vw)
+    tainted = pad_sheared.reshape(ncby, 8, ncbx, 8).any(axis=(1, 3))
+    if chroma_ub:
+        tainted[-1, :] = True  # OOB BS reads (Q2 x Q9)
+    # map output pixels -> sheared tile; mask tainted ones
+    rows = np.arange(hh)[:, None] + band
+    cols = np.arange(ww)[None, :] + band
+    flat = rows * wext + cols
+    in_sweep = flat < vh * vw
+    sr = np.minimum(flat, vh * vw - 1) // vw // 8
+    sc = (np.minimum(flat, vh * vw - 1) % vw) // 8
+    # out-of-sweep pixels are untouched by both sides: compare them
+    # strictly; in-sweep pixels compare unless tainted
+    m = ~in_sweep | ~tainted[sr, sc]
+    return int(np.sum((o2 != r2) & m))
+
+
 def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
          max_w: int = 128, max_h: int = 96) -> int:
     """Adversarial campaign: random frames x dims x QPs x injected BS vs the
@@ -182,43 +220,7 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
                 continue
             # mask UB regions and re-compare
             cw, ch = w // 2, h // 2
-            band = 4
-
-            def interior_diffs(o, r, ww, hh, chroma_ub=False):
-                """Diffs outside every region the reference's UB can reach.
-
-                UB sources: (a) uninitialized padding bytes feed any tile of
-                the sweep whose 8x8 extent contains one (Q6) -- under the Q9
-                shear those tiles form diagonal stripes through the interior,
-                not just a border band; (b) chroma ver2/hor2 BS reads go out
-                of bounds for the last sheared tile row (Q2 x Q9).  Mask is
-                tile-granular: any output pixel living in an affected sweep
-                tile is excluded.
-                """
-                o2 = o.reshape(hh, ww).astype(int)
-                r2 = r.reshape(hh, ww).astype(int)
-                wext, hext = ww + 8, hh + 8
-                ncby, ncbx = hext // 8, wext // 8
-                vh, vw = ncby * 8, ncbx * 8
-                # true-layout padding map -> sheared view -> tainted tiles
-                pad = np.ones((hext, wext), bool)
-                pad[band : band + hh, band : band + ww] = False
-                pad_sheared = pad.ravel()[: vh * vw].reshape(vh, vw)
-                tainted = pad_sheared.reshape(ncby, 8, ncbx, 8).any(axis=(1, 3))
-                if chroma_ub:
-                    tainted[-1, :] = True  # OOB BS reads (Q2 x Q9)
-                # map output pixels -> sheared tile; mask tainted ones
-                rows = np.arange(hh)[:, None] + band
-                cols = np.arange(ww)[None, :] + band
-                flat = rows * wext + cols
-                in_sweep = flat < vh * vw
-                sr = np.minimum(flat, vh * vw - 1) // vw // 8
-                sc = (np.minimum(flat, vh * vw - 1) % vw) // 8
-                # out-of-sweep pixels are untouched by both sides: compare
-                # them strictly; in-sweep pixels compare unless tainted
-                m = ~in_sweep | ~tainted[sr, sc]
-                return int(np.sum((o2 != r2) & m))
-
+            interior_diffs = _ub_masked_diffs
             fb_y = w * h
             fb_c = cw * ch
             dy = interior_diffs(ours[:fb_y], ref[:fb_y], w, h)
@@ -234,7 +236,89 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
     return 1 if failures else 0
 
 
+def fullscale(ref_dir: str, w: int = 1920, h: int = 1080, qp: int = 35) -> int:
+    """Production-scale byte-compare + thread-determinism run (round-3
+    verdict item 5).
+
+    1080p is the Q9 ROW-truncation case at real scale: extended chroma
+    height 548 is not 8-aligned (548 % 8 == 4, cpu.h:450-451's truncating
+    num_chroma_blocks_y), so the reference's chroma sweep covers only
+    68 * 8 = 544 of the 548 extended rows and the trailing flat bytes --
+    including real bottom chroma rows -- are never touched.  (The width is
+    16-aligned, so there is no column shear; utils/tiles.split_covered
+    reproduces exactly this row truncation.)
+
+    Runs the compiled reference at REF_THREADS=1 AND =4 on a synthetic
+    gradient+noise frame (both filter branches active at QP 35): the two
+    outputs must be byte-identical to each other (tiles are independent,
+    cpu.h:145's omp parallel for is race-free by construction -- this
+    verifies it at production scale) and to our golden model."""
+    import numpy as np
+
+    from gpu_video_codec_tpu.models.golden import deblock_frame_golden
+    from gpu_video_codec_tpu.utils.bs import BoundaryStrength
+    from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
+    rng = np.random.default_rng(1080)
+    yy = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 2
+           + rng.integers(-6, 7, (h, w))) % 256).astype(np.uint8)
+    cw, ch = w // 2, h // 2
+    uu = ((np.arange(ch)[:, None] + rng.integers(-4, 5, (ch, cw))) % 256).astype(np.uint8)
+    vv = ((np.arange(cw)[None, :] + rng.integers(-4, 5, (ch, cw))) % 256).astype(np.uint8)
+    raw = np.concatenate([yy.ravel(), uu.ravel(), vv.ravel()])
+
+    failures = 0
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_reference(ref_dir, td)
+        inp = os.path.join(td, "in.yuv")
+        raw.tofile(inp)
+        outs = {}
+        for nt in (1, 4):
+            out = os.path.join(td, f"out_{nt}.yuv")
+            env = dict(os.environ, REF_THREADS=str(nt))
+            subprocess.run([exe, inp, str(w), str(h), str(qp), out],
+                           env=env, check=True)
+            outs[nt] = np.fromfile(out, np.uint8)
+        det = int(np.sum(outs[1] != outs[4]))
+        print(f"fullscale {w}x{h} qp={qp}: 1-thread vs 4-thread reference: "
+              f"{'IDENTICAL' if det == 0 else f'{det} byte diffs (RACE?)'}")
+        failures += det != 0
+
+        frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
+        gold = deblock_frame_golden(frame, BoundaryStrength.intra_default(w, h), qp)
+        ours = np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
+        strict = int(np.sum(ours != outs[1]))
+        changed = int(np.sum(outs[1] != raw))
+        # UB-masked comparison (same mask as the fuzz campaign): at 1080p the
+        # reference's chroma ver2/hor2 BS lookups for the LAST sweep tile row
+        # read past its chroma BS arrays (Q2 -- existence tested with luma
+        # counts, cpu.h:515/645), so those segments filter with heap garbage;
+        # our golden pins OOB BS = 0.  Empirically (this run): every strict
+        # diff sits in that last chroma tile row (interior rows >= 532).
+        fy, fc = w * h, cw * ch
+        real = (_ub_masked_diffs(ours[:fy], outs[1][:fy], w, h)
+                + _ub_masked_diffs(ours[fy:fy + fc], outs[1][fy:fy + fc],
+                                   cw, ch, chroma_ub=True)
+                + _ub_masked_diffs(ours[fy + fc:], outs[1][fy + fc:],
+                                   cw, ch, chroma_ub=True))
+        if real == 0:
+            verdict = ("IDENTICAL" if strict == 0 else
+                       f"IDENTICAL outside reference-UB regions "
+                       f"({strict} diffs, all in the Q2xQ9 last chroma "
+                       f"tile row)")
+        else:
+            verdict = f"{real} REAL byte diffs outside UB regions"
+        print(f"fullscale {w}x{h} qp={qp}: golden vs compiled reference: "
+              f"{verdict} ({changed} bytes filtered)")
+        failures += real != 0
+    return 1 if failures else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fullscale":
+        ref_dir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_REF
+        sys.path.insert(0, REPO)
+        return fullscale(ref_dir)
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
         # --fuzz [N] [SEED] [MAX_W] [MAX_H] [REF_DIR]
         argv = sys.argv[2:]
