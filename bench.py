@@ -11,20 +11,55 @@ GTX 1060 Max-Q, BASELINE.md), which vs_baseline divides by.  The
 device-resident kernel-only rate (tile-planes in/out), the copy-overlap
 streaming rate, the device-fed overlap harness, and the link microbench
 are in details; in this dev environment the host-fed path is bound by the
-tunneled host->TPU link, not the framework."""
+tunneled host->TPU link, not the framework.
+
+Watchdog: the measurement runs in a child process under a timeout
+(GVCT_BENCH_TIMEOUT, default 2400 s).  The dev tunnel's backend can wedge
+for hours (a hung remote AOT compile blocks even `import jax` in axon
+registration — docs/PERF.md "int16"); if that happens at round end, the
+driver still gets ONE parseable JSON line recording the failure instead
+of a truncated or absent record.
+"""
 
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+METRIC = ("filtered Mpix/s/chip, 1080p YV12 packed full graph "
+          "(HBM->HBM device time incl. all layout)")
+
+
+def _child() -> None:
+    from bench.bench_lib import headline
+
+    print(json.dumps(headline()))
 
 
 def main() -> None:
-    from bench.bench_lib import headline
-
-    result = headline()
-    print(json.dumps(result))
+    if os.environ.get("GVCT_BENCH_CHILD"):
+        _child()
+        return
+    timeout = int(os.environ.get("GVCT_BENCH_TIMEOUT", "2400"))
+    env = dict(os.environ, GVCT_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, text=True, timeout=timeout)
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        error = f"bench child rc={proc.returncode}, no JSON line"
+    except subprocess.TimeoutExpired:
+        error = (f"bench child timed out after {timeout}s "
+                 "(wedged device backend?)")
+    print(json.dumps({"metric": METRIC, "value": None, "unit": "Mpix/s",
+                      "vs_baseline": None, "error": error}))
 
 
 if __name__ == "__main__":

@@ -106,6 +106,56 @@ def test_headline_assembly_is_numeric():
     assert out["details"]["device_fed_4k"]["device_mpix_s"] == 15547.4
 
 
+def _load_bench_entry():
+    """Load the repo-root bench.py by path (the name `bench` resolves to the
+    bench/ package, so the entry script needs an explicit file load)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_entry_watchdog(monkeypatch, capsys):
+    """bench.py's watchdog must print exactly ONE parseable JSON line on all
+    three child outcomes (success / bad rc / timeout) -- a wedged device
+    backend at round end must still yield a machine-readable record."""
+    import subprocess
+
+    mod = _load_bench_entry()
+    monkeypatch.delenv("GVCT_BENCH_CHILD", raising=False)
+
+    class Ok:
+        returncode = 0
+        stdout = 'compile log noise\n{"metric": "m", "value": 1.0}\n'
+
+    monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Ok())
+    mod.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and json.loads(out[0])["value"] == 1.0
+
+    class Bad:
+        returncode = 3
+        stdout = ""
+
+    monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Bad())
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] is None and "rc=3" in rec["error"]
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="bench", timeout=5)
+
+    monkeypatch.setattr(mod.subprocess, "run", boom)
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] is None and "timed out" in rec["error"]
+    assert len(json.dumps(rec)) < 1900
+
+
 def test_bench_device_fed_smoke():
     """Device-fed overlap harness: runs the real donated-step machinery on
     pre-staged HBM frames and reports wall + device rates (structure check
