@@ -59,6 +59,7 @@ def load() -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.gvct_version.restype = ctypes.c_int
     lib.gvct_num_threads.restype = ctypes.c_int
+    lib.gvct_active_isa.restype = ctypes.c_int
     lib.gvct_deblock_frame.restype = ctypes.c_int
     lib.gvct_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -80,6 +81,17 @@ def available() -> bool:
         return True
     except NativeRuntimeError:
         return False
+
+
+def active_isa() -> str:
+    """Active native SIMD tier: 'scalar', 'sse4.1', or 'avx512'.
+
+    'avx512' is the 4-tiles-per-vector batched sweep (runtime cpuid-gated;
+    deblock_cpu_avx512.cpp).  Setting GVCT_NATIVE_ISA=sse forces the SSE4.1
+    tier; the override is re-read on every filter call, so tests can flip it
+    within one process.  All tiers are bit-identical (tests/test_native.py).
+    """
+    return {0: "scalar", 1: "sse4.1", 2: "avx512"}[load().gvct_active_isa()]
 
 
 def _u8ptr(a: np.ndarray):

@@ -86,3 +86,39 @@ def test_native_error_code(rng):
     bad = FramePlanes(frame.y, frame.u, frame.v, 50, 50)  # not %8
     with _pytest.raises(native.NativeRuntimeError):
         native.deblock_frame_native(bad, bs, 35)
+
+
+def test_native_active_isa_reports_and_overrides(monkeypatch):
+    """active_isa() names a valid tier; GVCT_NATIVE_ISA=sse forces SSE4.1
+    (re-read per call, so one process can exercise both)."""
+    isa = native.active_isa()
+    assert isa in ("scalar", "sse4.1", "avx512")
+    monkeypatch.setenv("GVCT_NATIVE_ISA", "sse")
+    assert native.active_isa() in ("scalar", "sse4.1")
+
+
+@pytest.mark.parametrize("w,h", [(64, 48), (88, 72), (104, 56), (112, 64), (352, 288)])
+def test_native_cross_isa_bitexact(rng, monkeypatch, w, h):
+    """The AVX-512 batched sweep (4 tiles/vector, deblock_cpu_avx512.cpp) must
+    be byte-identical to the SSE4.1 per-tile path AND the golden oracle.
+
+    Geometries cover every quad-tail residue (nx % 4 in 0..3, where
+    nx = w/8 + 1) and the Q9 sheared-chroma case (w=88 -> chroma ext width 52,
+    effective sweep width 48).  Skips silently degenerate on hosts without
+    AVX-512: both runs then take the same tier and the test still validates
+    against golden."""
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    bs.set_luma(
+        rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+        rng.integers(0, 3, bs.hor.size, dtype=np.uint8),
+    )
+    for qp in (0, 35, 51):
+        gold = deblock_frame_golden(frame, bs, qp)
+        monkeypatch.delenv("GVCT_NATIVE_ISA", raising=False)
+        fast = native.deblock_frame_native(frame, bs, qp)
+        monkeypatch.setenv("GVCT_NATIVE_ISA", "sse")
+        base = native.deblock_frame_native(frame, bs, qp)
+        for name in ("y", "u", "v"):
+            assert np.array_equal(getattr(gold, name), getattr(fast, name)), (qp, name)
+            assert np.array_equal(getattr(base, name), getattr(fast, name)), (qp, name)
