@@ -348,6 +348,7 @@ def bench_cpu_interleaved(qp: int = 35, thread_counts=(1, 2, 4, 6, 8),
     return {
         "qp": qp,
         "reps_interleaved": reps,
+        "native_isa": native.active_isa(),
         "host_cpu_cores": ncpu,
         "caveat": (f"host exposes {ncpu} CPU core(s); thread counts > "
                    f"{ncpu} measure OpenMP scheduling overhead on a "

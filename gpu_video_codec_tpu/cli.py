@@ -52,11 +52,20 @@ def device_info() -> dict:
             }
             info["memory_stats"] = stats
         out.append(info)
-    return {
+    info = {
         "backend": jax.default_backend(),
         "num_devices": len(devs),
         "devices": out,
     }
+    # host-side runtime provenance (reference prints CPU info alongside GPU)
+    from .runtime import native as _native
+
+    if _native.available():
+        info["native_runtime"] = {
+            "isa": _native.active_isa(),
+            "omp_max_threads": _native.load().gvct_num_threads(),
+        }
+    return info
 
 
 def build_parser() -> argparse.ArgumentParser:
