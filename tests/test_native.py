@@ -122,3 +122,28 @@ def test_native_cross_isa_bitexact(rng, monkeypatch, w, h):
         for name in ("y", "u", "v"):
             assert np.array_equal(getattr(gold, name), getattr(fast, name)), (qp, name)
             assert np.array_equal(getattr(base, name), getattr(fast, name)), (qp, name)
+
+
+@pytest.mark.slow
+def test_native_cross_isa_fullscale_1080p(rng, monkeypatch):
+    """Production-scale (1920x1080) native validation: the AVX-512 quad sweep
+    must match the SSE4.1 tier AND the golden oracle byte-for-byte at the Q9
+    row-truncation geometry (chroma ext 548x968 -> effective 544x960) with
+    hundreds of full quads per row -- the scale the small cross-ISA cases
+    can't reach."""
+    w, h = 1920, 1080
+    frame = _frame(rng, w, h)
+    bs = BoundaryStrength.intra_default(w, h)
+    bs.set_luma(
+        rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+        rng.integers(0, 3, bs.hor.size, dtype=np.uint8),
+    )
+    monkeypatch.delenv("GVCT_NATIVE_ISA", raising=False)
+    fast = native.deblock_frame_native(frame, bs, 35)
+    monkeypatch.setenv("GVCT_NATIVE_ISA", "sse")
+    base = native.deblock_frame_native(frame, bs, 35)
+    for name in ("y", "u", "v"):
+        assert np.array_equal(getattr(base, name), getattr(fast, name)), name
+    gold = deblock_frame_golden(frame, bs, 35)
+    for name in ("y", "u", "v"):
+        assert np.array_equal(getattr(gold, name), getattr(fast, name)), name
