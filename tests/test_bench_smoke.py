@@ -119,14 +119,17 @@ def _load_bench_entry():
     return mod
 
 
-def test_bench_entry_watchdog(monkeypatch, capsys):
+def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     """bench.py's watchdog must print exactly ONE parseable JSON line on all
-    three child outcomes (success / bad rc / timeout) -- a wedged device
-    backend at round end must still yield a machine-readable record."""
+    child outcomes (success / bad rc / timeout) -- a wedged device backend at
+    round end must still yield a machine-readable record.  A success
+    snapshots the headline; later failures re-emit it marked stale."""
     import subprocess
 
     mod = _load_bench_entry()
     monkeypatch.delenv("GVCT_BENCH_CHILD", raising=False)
+    cache = tmp_path / "last_headline.json"
+    monkeypatch.setenv("GVCT_BENCH_CACHE", str(cache))
 
     class Ok:
         returncode = 0
@@ -136,15 +139,23 @@ def test_bench_entry_watchdog(monkeypatch, capsys):
     mod.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1 and json.loads(out[0])["value"] == 1.0
+    assert json.loads(cache.read_text())["measured_at"]  # snapshot written
 
     class Bad:
         returncode = 3
         stdout = ""
 
+    # with a snapshot present, failure re-emits the last measured headline,
+    # clearly marked stale (real numbers + why they are being re-emitted)
     monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Bad())
     mod.main()
     rec = json.loads(capsys.readouterr().out.strip())
-    assert rec["value"] is None and "rc=3" in rec["error"]
+    assert rec["stale"] is True and rec["value"] == 1.0
+    assert "rc=3" in rec["stale_error"] and rec["measured_at"]
+    assert len(json.dumps(rec)) < 1900
+
+    # without a snapshot, failure reports value: null with the error
+    cache.unlink()
 
     def boom(*a, **k):
         raise subprocess.TimeoutExpired(cmd="bench", timeout=5)
