@@ -64,3 +64,17 @@ def test_fuzz_vs_compiled_reference():
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "0 real divergences" in r.stdout
+
+
+def test_fuzz_native_vs_compiled_reference():
+    """The native SIMD backend (AVX-512 tier where supported) fuzzed DIRECTLY
+    against the compiled reference -- two independent implementations with no
+    shared code, closing the chain golden == native == reference without
+    relying on transitivity."""
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "validate_vs_reference.py")
+    r = subprocess.run([sys.executable, tool, "--fuzz", "6", "11",
+                        "--backend", "native"],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "0 real divergences" in r.stdout

@@ -167,7 +167,7 @@ def _ub_masked_diffs(o, r, ww, hh, chroma_ub=False, band=4):
 
 
 def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
-         max_w: int = 128, max_h: int = 96) -> int:
+         max_w: int = 128, max_h: int = 96, backend: str = "golden") -> int:
     """Adversarial campaign: random frames x dims x QPs x injected BS vs the
     compiled reference binary.
 
@@ -185,6 +185,18 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
     from gpu_video_codec_tpu.models.golden import deblock_frame_golden
     from gpu_video_codec_tpu.utils.bs import BoundaryStrength
     from gpu_video_codec_tpu.utils.yuv import planes_from_yv12_bytes, yv12_bytes_from_planes
+
+    if backend == "native":
+        # fuzz the native SIMD backend (whatever tier cpuid selects --
+        # AVX-512 on this host) DIRECTLY against the compiled reference:
+        # two independent implementations, no shared code
+        from gpu_video_codec_tpu.runtime import native as native_rt
+
+        def model(frame, bs, qp):
+            return native_rt.deblock_frame_native(frame, bs, qp)
+        print(f"fuzz backend: native ({native_rt.active_isa()})")
+    else:
+        model = deblock_frame_golden
 
     rng = np.random.default_rng(seed)
     failures = 0
@@ -209,7 +221,7 @@ def fuzz(ref_dir: str, n_cases: int, seed: int = 0,
             subprocess.run(cmd, check=True)
 
             frame = planes_from_yv12_bytes(raw.tobytes(), w, h)
-            gold = deblock_frame_golden(frame, bs, qp)
+            gold = model(frame, bs, qp)
             ours = np.frombuffer(yv12_bytes_from_planes(gold), np.uint8)
             ref = np.fromfile(out, np.uint8)
 
@@ -320,15 +332,21 @@ def main() -> int:
         sys.path.insert(0, REPO)
         return fullscale(ref_dir)
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzz":
-        # --fuzz [N] [SEED] [MAX_W] [MAX_H] [REF_DIR]
+        # --fuzz [N] [SEED] [MAX_W] [MAX_H] [REF_DIR] [--backend golden|native]
         argv = sys.argv[2:]
+        backend = "golden"
+        if "--backend" in argv:
+            i = argv.index("--backend")
+            backend = argv[i + 1]
+            argv = argv[:i] + argv[i + 2:]
         n = int(argv[0]) if len(argv) > 0 else 30
         seed = int(argv[1]) if len(argv) > 1 else 0
         max_w = int(argv[2]) if len(argv) > 2 else 128
         max_h = int(argv[3]) if len(argv) > 3 else 96
         ref_dir = argv[4] if len(argv) > 4 else DEFAULT_REF
         sys.path.insert(0, REPO)
-        return fuzz(ref_dir, n, seed=seed, max_w=max_w, max_h=max_h)
+        return fuzz(ref_dir, n, seed=seed, max_w=max_w, max_h=max_h,
+                    backend=backend)
     ref_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_REF
     header = os.path.join(ref_dir, "hevc_deblocking_filter_cpu.h")
     if not os.path.exists(header):
