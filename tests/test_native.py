@@ -97,16 +97,18 @@ def test_native_active_isa_reports_and_overrides(monkeypatch):
     assert native.active_isa() in ("scalar", "sse4.1")
 
 
-@pytest.mark.parametrize("w,h", [(64, 48), (88, 72), (104, 56), (112, 64), (352, 288)])
+@pytest.mark.parametrize("w,h", [(8, 8), (16, 16), (24, 16), (64, 48),
+                                 (88, 72), (104, 56), (112, 64), (352, 288)])
 def test_native_cross_isa_bitexact(rng, monkeypatch, w, h):
     """The AVX-512 batched sweep (4 tiles/vector, deblock_cpu_avx512.cpp) must
     be byte-identical to the SSE4.1 per-tile path AND the golden oracle.
 
     Geometries cover every quad-tail residue (nx % 4 in 0..3, where
-    nx = w/8 + 1) and the Q9 sheared-chroma case (w=88 -> chroma ext width 52,
-    effective sweep width 48).  Skips silently degenerate on hosts without
-    AVX-512: both runs then take the same tier and the test still validates
-    against golden."""
+    nx = w/8 + 1), the nx < 4 small-plane fallback (w=8,16), the
+    exactly-one-quad case (w=24), and the Q9 sheared-chroma case (w=88 ->
+    chroma ext width 52, effective sweep width 48).  Skips silently
+    degenerate on hosts without AVX-512: both runs then take the same tier
+    and the test still validates against golden."""
     frame = _frame(rng, w, h)
     bs = BoundaryStrength.intra_default(w, h)
     bs.set_luma(
