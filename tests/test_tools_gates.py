@@ -1,0 +1,57 @@
+"""Process-safety gates around the wedge-prone tooling (round-4 verdict
+items 2/3): the int16 probe's toolchain gate and the capture runner's
+artifact plumbing.  Pure-CPU, no jax import beyond metadata."""
+
+import json
+import os
+
+from tools.int16_probe import STATE_PATH, gate, record_state, toolchain_versions
+from tools.tpu_capture import _atomic_write, _parse_json_tail
+
+
+def test_int16_gate_skips_on_unchanged_toolchain(tmp_path):
+    state = tmp_path / "state.json"
+    record_state({"int16_on_tpu": "compile-hang"}, 4, str(state))
+    skip = gate(str(state))
+    assert skip is not None
+    assert skip["int16_on_tpu"] == "skipped-toolchain-unchanged"
+    assert "round 4" in skip["detail"] and "compile-hang" in skip["detail"]
+
+
+def test_int16_gate_probes_on_changed_toolchain(tmp_path):
+    state = tmp_path / "state.json"
+    record_state({"int16_on_tpu": "compile-hang"}, 4, str(state))
+    data = json.loads(state.read_text())
+    data["versions"]["libtpu"] = "0.0.1-older"
+    state.write_text(json.dumps(data))
+    assert gate(str(state)) is None  # version changed: probe is warranted
+
+
+def test_int16_gate_probes_when_no_state(tmp_path):
+    assert gate(str(tmp_path / "missing.json")) is None
+
+
+def test_int16_state_file_is_seeded():
+    """The committed state file must gate-match the CURRENT toolchain
+    (otherwise the gate silently does nothing this round)."""
+    assert os.path.exists(STATE_PATH), "bench/INT16_PROBE_STATE.json missing"
+    with open(STATE_PATH) as f:
+        state = json.load(f)
+    assert state["versions"] == toolchain_versions()
+    assert gate() is not None
+
+
+def test_capture_parse_json_tail():
+    assert _parse_json_tail('noise\n{"a": 1}\n') == {"a": 1}
+    assert _parse_json_tail('x\n{\n "a": {\n  "b": 2\n }\n}\n') == {"a": {"b": 2}}
+    assert _parse_json_tail("[1, 2]\ntrailing noise\n") is None  # not the tail
+    assert _parse_json_tail("no json at all") is None
+
+
+def test_capture_atomic_write(tmp_path):
+    p = tmp_path / "out.json"
+    _atomic_write(str(p), {"x": 1})
+    assert json.loads(p.read_text()) == {"x": 1}
+    assert not os.path.exists(str(p) + ".tmp")
+    _atomic_write(str(p), "raw text")
+    assert p.read_text() == "raw text"

@@ -9,10 +9,20 @@ arith.maxsi) and the re-probe hung the remote AOT compile (>10 min).
 
 This probe compiles + runs the int16 kernel on a small geometry under a
 subprocess timeout so a compiler hang cannot take down the calling round,
-then bit-compares against int32 ON DEVICE.  Run each round; if it ever
-passes, flip the default dtype for the resident step and bank ~2x.
+then bit-compares against int32 ON DEVICE.  If it ever passes, flip the
+default dtype for the resident step and bank ~2x.
 
-Usage: python -m tools.int16_probe [--timeout 300]
+TOOLCHAIN GATE (round-4 verdict item 2): the probe's subprocess timeout
+protects the CALLER, but the hang it triggers wedges the REMOTE backend
+for hours (killing the client does not stop the server-side compile —
+CLAUDE.md "Environment gotchas"); rounds 2-4 each lost TPU agenda to it,
+and probing an UNCHANGED toolchain buys zero information.  The probe now
+records the jax/jaxlib/libtpu versions of its last run in
+bench/INT16_PROBE_STATE.json and refuses to run again (exit 0, "skipped")
+until one of them changes.  --force overrides; never run it before the
+round's TPU capture set is banked (tools/tpu_capture.py).
+
+Usage: python -m tools.int16_probe [--timeout 300] [--force]
 
 An upstream-ready minimal repro of the round-2 failures is printed with
 --repro: it exercises exactly the two Mosaic gaps (i16 vector ALU
@@ -75,8 +85,58 @@ def k_scalar(s_ref, x_ref, o_ref):
 '''
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_PATH = os.path.join(REPO, "bench", "INT16_PROBE_STATE.json")
+
+
+def toolchain_versions() -> dict:
+    """Local toolchain identity (the remote compiler ships with the same
+    wheel set in this environment); cheap — metadata only, no jax import."""
+    import importlib.metadata as md
+
+    out = {}
+    for pkg in ("jax", "jaxlib", "libtpu"):
+        try:
+            out[pkg] = md.version(pkg)
+        except md.PackageNotFoundError:
+            out[pkg] = None
+    return out
+
+
+def gate(state_path: str = STATE_PATH) -> dict | None:
+    """Return the skip record if the toolchain is unchanged since the last
+    probe (the probe would re-trigger the same hang for zero information);
+    None when a probe is warranted."""
+    if not os.path.exists(state_path):
+        return None
+    try:
+        with open(state_path) as f:
+            state = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if state.get("versions") != toolchain_versions():
+        return None  # toolchain changed: a fresh probe has information value
+    return {"int16_on_tpu": "skipped-toolchain-unchanged",
+            "detail": (f"jax/jaxlib/libtpu unchanged since round "
+                       f"{state.get('round')} ({state['versions']}); "
+                       f"last result: {state.get('result')} -- re-probing an "
+                       "unchanged toolchain only re-wedges the backend "
+                       "(use --force after banking the TPU capture set)")}
+
+
+def record_state(result: dict, round_no: int | None,
+                 state_path: str = STATE_PATH) -> None:
+    import time
+
+    with open(state_path, "w") as f:
+        json.dump({"versions": toolchain_versions(), "round": round_no,
+                   "result": result.get("int16_on_tpu"),
+                   "probed_at": time.strftime("%FT%T")}, f, indent=2)
+        f.write("\n")
+
+
 def probe(timeout: int = 300) -> dict:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = REPO
     try:
         r = subprocess.run(
             [sys.executable, "-c", _CHILD.format(repo=repo)],
@@ -99,10 +159,20 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--timeout", type=int, default=300)
+    ap.add_argument("--force", action="store_true",
+                    help="probe even if the toolchain is unchanged")
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number recorded in the probe state file")
     ap.add_argument("--repro", action="store_true",
                     help="print the upstream-ready minimal repro and exit")
     a = ap.parse_args()
     if a.repro:
         print(_REPRO)
     else:
-        print(json.dumps(probe(a.timeout), indent=2))
+        skip = None if a.force else gate()
+        if skip is not None:
+            print(json.dumps(skip, indent=2))
+        else:
+            result = probe(a.timeout)
+            record_state(result, a.round)
+            print(json.dumps(result, indent=2))
