@@ -60,6 +60,7 @@ def load() -> ctypes.CDLL:
     lib.gvct_version.restype = ctypes.c_int
     lib.gvct_num_threads.restype = ctypes.c_int
     lib.gvct_active_isa.restype = ctypes.c_int
+    lib.gvct_avx512_compiled.restype = ctypes.c_int
     lib.gvct_deblock_frame.restype = ctypes.c_int
     lib.gvct_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
@@ -92,6 +93,13 @@ def active_isa() -> str:
     within one process.  All tiers are bit-identical (tests/test_native.py).
     """
     return {0: "scalar", 1: "sse4.1", 2: "avx512"}[load().gvct_active_isa()]
+
+
+def avx512_compiled() -> bool:
+    """Whether the AVX-512 TU compiled the real kernels (vs the stub).
+    Dispatch ANDs this into the cpuid check, so active_isa() can never
+    report 'avx512' while the stub is linked (a silent no-op otherwise)."""
+    return bool(load().gvct_avx512_compiled())
 
 
 def _u8ptr(a: np.ndarray):

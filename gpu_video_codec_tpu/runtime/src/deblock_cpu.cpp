@@ -42,7 +42,10 @@ using gvct::kBlock;
 
 #if defined(__x86_64__)
 // Implemented in deblock_cpu_avx512.cpp (compiled with AVX-512 flags; only
-// ever called after the cpuid check below passes).
+// ever called after the cpuid check below passes AND the TU reports it
+// compiled the real kernels -- gvct_avx512_compiled() returns 0 from the
+// stub, so dispatch can never exceed compiled capability).
+extern "C" int gvct_avx512_compiled();
 extern "C" void gvct_tile_row_avx512(
     uint8_t *plane, int stride, int by, int nx,
     const uint8_t *vert_bs, long long n_vert,
@@ -60,7 +63,7 @@ int select_isa() {
 #if defined(__x86_64__)
   if (e != nullptr && std::strcmp(e, "sse") == 0) return 1;
   if (__builtin_cpu_supports("avx512bw") && __builtin_cpu_supports("avx512vl") &&
-      __builtin_cpu_supports("avx512vbmi"))
+      __builtin_cpu_supports("avx512vbmi") && gvct_avx512_compiled())
     return 2;
   return 1;
 #else
@@ -124,7 +127,7 @@ void deblock_plane(uint8_t *plane, int hext, int wext, int lookup_w,
 
 extern "C" {
 
-int gvct_version() { return 11; }
+int gvct_version() { return 12; }
 
 int gvct_num_threads() {
 #ifdef _OPENMP

@@ -12,8 +12,11 @@
 // Tiles are fully independent (every phase reads and writes only inside its
 // own 8x8 extent; see ops/deblock.py geometry), so running phase k for four
 // tiles before phase k+1 is byte-identical to the reference's per-tile Q7
-// order.  Gated-out tiles keep their original lane values through the mask
-// blends, so the vector stores write back identical bytes for them.
+// order.  Every store is BYTE-MASKED to the quad's active tiles
+// (QUAD_BYTES[m4]): gated-out tiles are never written at all -- not even
+// with identical bytes -- so the quad kernels stay race-free under any
+// tile-granular parallel partition, not just the current one-thread-per-
+// tile-row OpenMP split in deblock_cpu.cpp (round-4 advisor finding).
 //
 // Gathers/scatters: a quad's working set per phase is <= 4 rows x 32 cols =
 // 128 bytes = two zmms, so VBMI's two-source byte permute
@@ -119,6 +122,16 @@ constexpr uint16_t SEG_LANES[16] = {
     0x0000, 0x000F, 0x00F0, 0x00FF, 0x0F00, 0x0F0F, 0x0FF0, 0x0FFF,
     0xF000, 0xF00F, 0xF0F0, 0xF0FF, 0xFF00, 0xFF0F, 0xFFF0, 0xFFFF};
 
+// 4-bit per-tile gate -> 32-byte store mask (8 row bytes per tile): stores
+// never touch gated-out tiles, keeping the quad kernels reentrant at tile
+// granularity (active tiles still rewrite their own untouched columns with
+// identical bytes, which is safe under any per-tile ownership).
+constexpr uint32_t QUAD_BYTES[16] = {
+    0x00000000u, 0x000000FFu, 0x0000FF00u, 0x0000FFFFu,
+    0x00FF0000u, 0x00FF00FFu, 0x00FFFF00u, 0x00FFFFFFu,
+    0xFF000000u, 0xFF0000FFu, 0xFF00FF00u, 0xFF00FFFFu,
+    0xFFFF0000u, 0xFFFF00FFu, 0xFFFFFF00u, 0xFFFFFFFFu};
+
 // ---- vector helpers (int32 lanes; Q8 semantics: arithmetic >>) ----
 
 inline __m512i clip1z(__m512i d, __m512i c) {
@@ -142,11 +155,11 @@ inline __m512i gather_row(const uint8_t *row, const B32 &idx) {
   const __m256i g = _mm256_permutexvar_epi8(_mm256_load_si256((const __m256i *)idx.b), r);
   return _mm512_cvtepu8_epi32(_mm256_castsi256_si128(g));
 }
-inline void scatter_row(uint8_t *row, __m512i v, int side) {
+inline void scatter_row(uint8_t *row, __m512i v, int side, __mmask32 act) {
   const __m128i packed = _mm512_cvtepi32_epi8(v);  // exact: values in [0,255]
   const __m256i expanded = _mm256_permutexvar_epi8(
       _mm256_load_si256((const __m256i *)HS[side].b), _mm256_zextsi128_si256(packed));
-  _mm256_mask_storeu_epi8(row, HMASK[side], expanded);
+  _mm256_mask_storeu_epi8(row, HMASK[side] & act, expanded);
 }
 
 #define ADDZ _mm512_add_epi32
@@ -277,10 +290,11 @@ void luma_vert_quad(const PlaneView &pl, int rbase, int c0, unsigned m4,
   A = _mm512_permutex2var_epi8(A, _mm512_load_si512((const void *)MA_Q.b), FQ);
   B = _mm512_permutex2var_epi8(B, _mm512_load_si512((const void *)MB_P.b), FP);
   B = _mm512_permutex2var_epi8(B, _mm512_load_si512((const void *)MB_Q.b), FQ);
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 0, c0), _mm512_extracti64x4_epi64(A, 0));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 1, c0), _mm512_extracti64x4_epi64(A, 1));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 2, c0), _mm512_extracti64x4_epi64(B, 0));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 3, c0), _mm512_extracti64x4_epi64(B, 1));
+  const __mmask32 wm = QUAD_BYTES[m4 & 15];
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 0, c0), wm, _mm512_extracti64x4_epi64(A, 0));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 1, c0), wm, _mm512_extracti64x4_epi64(A, 1));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 2, c0), wm, _mm512_extracti64x4_epi64(B, 0));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 3, c0), wm, _mm512_extracti64x4_epi64(B, 1));
 }
 
 // Horizontal luma phase (2 left / 3 right via `side`): per-row gathers;
@@ -293,9 +307,10 @@ void luma_hor_quad(const PlaneView &pl, int r0, int c0, int side, unsigned m4,
     q[j] = gather_row(&pl.at(r0 + 4 + j, c0), HG[0]);
   }
   if (!luma_filter16(p, q, beta, tc, SEG_LANES[m4 & 15])) return;
+  const __mmask32 act = QUAD_BYTES[m4 & 15];
   for (int j = 0; j < 3; ++j) {
-    scatter_row(&pl.at(r0 + 3 - j, c0), p[j], side);
-    scatter_row(&pl.at(r0 + 4 + j, c0), q[j], 0);
+    scatter_row(&pl.at(r0 + 3 - j, c0), p[j], side, act);
+    scatter_row(&pl.at(r0 + 4 + j, c0), q[j], 0, act);
   }
 }
 
@@ -315,10 +330,11 @@ void chroma_vert_quad(const PlaneView &pl, int rbase, int c0, unsigned m4, int t
   F = _mm512_inserti32x4(F, _mm512_cvtepi32_epi8(q0), 1);
   A = _mm512_permutex2var_epi8(A, _mm512_load_si512((const void *)MA_C.b), F);
   B = _mm512_permutex2var_epi8(B, _mm512_load_si512((const void *)MB_C.b), F);
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 0, c0), _mm512_extracti64x4_epi64(A, 0));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 1, c0), _mm512_extracti64x4_epi64(A, 1));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 2, c0), _mm512_extracti64x4_epi64(B, 0));
-  _mm256_storeu_si256((__m256i *)&pl.at(rbase + 3, c0), _mm512_extracti64x4_epi64(B, 1));
+  const __mmask32 wm = QUAD_BYTES[m4 & 15];
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 0, c0), wm, _mm512_extracti64x4_epi64(A, 0));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 1, c0), wm, _mm512_extracti64x4_epi64(A, 1));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 2, c0), wm, _mm512_extracti64x4_epi64(B, 0));
+  _mm256_mask_storeu_epi8(&pl.at(rbase + 3, c0), wm, _mm512_extracti64x4_epi64(B, 1));
 }
 
 void chroma_hor_quad(const PlaneView &pl, int r0, int c0, int side, unsigned m4,
@@ -328,11 +344,18 @@ void chroma_hor_quad(const PlaneView &pl, int r0, int c0, int side, unsigned m4,
   __m512i q0 = gather_row(&pl.at(r0 + 4, c0), HG[0]);
   const __m512i q1 = gather_row(&pl.at(r0 + 5, c0), HG[0]);
   chroma_filter16(p0, p1, q0, q1, tc, SEG_LANES[m4 & 15]);
-  scatter_row(&pl.at(r0 + 3, c0), p0, side);
-  scatter_row(&pl.at(r0 + 4, c0), q0, 0);
+  const __mmask32 act = QUAD_BYTES[m4 & 15];
+  scatter_row(&pl.at(r0 + 3, c0), p0, side, act);
+  scatter_row(&pl.at(r0 + 4, c0), q0, 0, act);
 }
 
 }  // namespace
+
+// Compiled-capability flag consumed by deblock_cpu.cpp's select_isa: if this
+// TU is ever built WITHOUT the AVX-512 macros (non-Makefile build, exotic
+// compiler), the stub below returns 0 and dispatch can never route frames
+// into a silent no-op (round-4 advisor finding).
+extern "C" int gvct_avx512_compiled() { return 1; }
 
 extern "C" void gvct_tile_row_avx512(
     uint8_t *plane, int stride, int by, int nx,
@@ -384,6 +407,10 @@ extern "C" void gvct_tile_row_avx512(
 }
 
 #else  // non-x86_64 or AVX-512 flags missing: never-called stub
+
+// 0 = not compiled: select_isa ANDs this in, so the stub below can never be
+// reached even on an AVX-512-capable host.
+extern "C" int gvct_avx512_compiled() { return 0; }
 
 extern "C" void gvct_tile_row_avx512(
     uint8_t *, int, int, int, const uint8_t *, long long, const uint8_t *,

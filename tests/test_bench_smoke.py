@@ -145,13 +145,16 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
         returncode = 3
         stdout = ""
 
-    # with a snapshot present, failure re-emits the last measured headline,
-    # clearly marked stale (real numbers + why they are being re-emitted)
+    # with a snapshot present, failure emits a stale record whose top-level
+    # value/vs_baseline are NULL (a naive parser can never book old numbers
+    # as fresh); the real last measurement lives under last_measured
     monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Bad())
     mod.main()
     rec = json.loads(capsys.readouterr().out.strip())
-    assert rec["stale"] is True and rec["value"] == 1.0
-    assert "rc=3" in rec["stale_error"] and rec["measured_at"]
+    assert rec["stale"] is True
+    assert rec["value"] is None and rec["vs_baseline"] is None
+    assert rec["last_measured"]["value"] == 1.0
+    assert "rc=3" in rec["stale_error"] and rec["last_measured"]["measured_at"]
     assert len(json.dumps(rec)) < 1900
 
     # without a snapshot, failure reports value: null with the error

@@ -149,3 +149,40 @@ def test_native_cross_isa_fullscale_1080p(rng, monkeypatch):
     gold = deblock_frame_golden(frame, bs, 35)
     for name in ("y", "u", "v"):
         assert np.array_equal(getattr(gold, name), getattr(fast, name)), name
+
+
+def test_native_dispatch_never_exceeds_compiled_capability():
+    """Round-4 advisor finding: if the AVX-512 TU were ever built without
+    its macros it becomes a no-op stub, and cpuid alone would still route
+    whole tile rows through it (frames silently unfiltered).  select_isa
+    now ANDs in the TU's compiled-capability flag."""
+    if native.active_isa() == "avx512":
+        assert native.avx512_compiled()
+
+
+@pytest.mark.slow
+def test_native_stub_build_never_dispatches_avx512(tmp_path):
+    """Build the library WITHOUT AVX-512 flags (so the TU compiles its stub)
+    and verify dispatch falls back to SSE4.1 on this AVX-512-capable host
+    instead of routing frames into the no-op."""
+    import ctypes
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "gpu_video_codec_tpu", "runtime", "src")
+    so = tmp_path / "libgvct_stub.so"
+    subprocess.run(
+        ["g++", "-O0", "-fPIC", "-fopenmp", "-std=c++17", "-msse4.1",
+         "-shared", "-o", str(so),
+         os.path.join(src, "deblock_cpu.cpp"),
+         os.path.join(src, "deblock_cpu_avx512.cpp")],
+        check=True, capture_output=True, text=True)
+    lib = ctypes.CDLL(str(so))
+    lib.gvct_avx512_compiled.restype = ctypes.c_int
+    lib.gvct_active_isa.restype = ctypes.c_int
+    assert lib.gvct_avx512_compiled() == 0
+    assert lib.gvct_active_isa() != 2  # never exceeds compiled capability
