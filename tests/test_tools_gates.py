@@ -55,3 +55,15 @@ def test_capture_atomic_write(tmp_path):
     assert not os.path.exists(str(p) + ".tmp")
     _atomic_write(str(p), "raw text")
     assert p.read_text() == "raw text"
+
+
+def test_chromafold_formulation_bitexact(monkeypatch):
+    """The packed-chroma fold experiment (round-4 verdict item 7) must stay
+    bit-equal to the production retile path: forward tiles, full layout
+    round-trip, and identity on the region (tiny geometry; the 1080p race
+    runs on hardware via tools/tpu_capture.py)."""
+    monkeypatch.setenv("GVCT_RELAYOUT", "mxu")  # engines on, off-TPU
+    from tools.chromafold_exp import check
+
+    r = check(geometries=((64, 48),))
+    assert r["ok"], r

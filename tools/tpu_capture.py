@@ -60,6 +60,9 @@ STEPS: list[tuple[str, int, list[str]]] = [
                           "--geometry", "3840x2160"]),
     ("multistream_1", 1500, [sys.executable, "-m", "bench.bench_lib", "--ms1"]),
     ("multistream_4k", 1800, [sys.executable, "-m", "bench.bench_lib", "--4k"]),
+    # verdict item 7: packed-chroma retile fold, measured promote-or-reject
+    ("chromafold_race", 1500, [sys.executable, "-m", "tools.chromafold_exp",
+                               "--race"]),
 ]
 
 
