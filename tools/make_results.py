@@ -25,6 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# sitecustomize registers the axon plugin at interpreter startup (when the
+# profile's PALLAS_AXON_POOL_IPS is set), importing jax BEFORE this script
+# body runs -- the env overrides above are then frozen out of jax's config
+# and device_info() would block on the axon tunnel (cost a 36-min hang in
+# round 5).  Update the live config like tests/conftest.py does.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
 
 from bench.bench_lib import bench_cpu_interleaved, device_info  # noqa: E402
 

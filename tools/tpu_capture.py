@@ -70,9 +70,15 @@ def _env() -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     # never inherit a CPU-only override into the capture children
-    for k in ("JAX_PLATFORM_NAME", "PALLAS_AXON_POOL_IPS"):
-        env.pop(k, None)
+    env.pop("JAX_PLATFORM_NAME", None)
     env["JAX_PLATFORMS"] = "axon"
+    # PALLAS_AXON_POOL_IPS must be NON-EMPTY: sitecustomize registers the
+    # axon backend only when it is set (empty is the CPU-only escape hatch,
+    # CLAUDE.md).  If a CPU override leaked in, restore the image's relay
+    # address -- popping the var would make every child see
+    # "Backend 'axon' is not in the list of known backends".
+    if not env.get("PALLAS_AXON_POOL_IPS"):
+        env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
     return env
 
 

@@ -33,10 +33,23 @@ import tempfile
 
 # The parent only computes golden oracles: force CPU and skip the axon
 # registration leg (which HANGS while the remote backend is busy/wedged)
-# before anything imports jax.
+# before anything imports jax.  Keep the ORIGINAL pool address around: the
+# device children need it NON-EMPTY (sitecustomize registers the axon
+# backend only when it is set; without it they'd fail instantly with
+# "Backend 'axon' is not in the list of known backends").
+_ORIG_POOL_IPS = os.environ.get("PALLAS_AXON_POOL_IPS") or "127.0.0.1"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# sitecustomize may have ALREADY imported jax (it registers the axon plugin
+# at interpreter startup when the pool var is set), freezing JAX_PLATFORMS=
+# axon into its config -- the env overrides above are then too late.  Update
+# the live config like tests/conftest.py does.
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -109,10 +122,14 @@ def run(timeout: int = 600, extra_geometry: tuple[int, int] | None = None,
             env = dict(os.environ)
             for k in ("GVCT_RELAYOUT", "GVCT_RELAYOUT_DTYPE",
                       "GVCT_RELAYOUT_FACT", "GVCT_RELAYOUT_SPLIT",
-                      "JAX_PLATFORM_NAME", "PALLAS_AXON_POOL_IPS"):
+                      "JAX_PLATFORM_NAME"):
                 env.pop(k, None)
             env.update(knobs)
             env["JAX_PLATFORMS"] = platform
+            # non-empty pool address: required for the child's sitecustomize
+            # to register the axon backend at all (see module docstring note)
+            env["PALLAS_AXON_POOL_IPS"] = (
+                _ORIG_POOL_IPS if platform == "axon" else "")
             # persistent compile cache (same one the test suite uses):
             # off-TPU the interpret-mode Pallas compiles dominate child time
             env.setdefault("JAX_COMPILATION_CACHE_DIR",
