@@ -60,9 +60,14 @@ STEPS: list[tuple[str, int, list[str]]] = [
                           "--geometry", "3840x2160"]),
     ("multistream_1", 1500, [sys.executable, "-m", "bench.bench_lib", "--ms1"]),
     ("multistream_4k", 1800, [sys.executable, "-m", "bench.bench_lib", "--4k"]),
-    # verdict item 7: packed-chroma retile fold, measured promote-or-reject
+    # verdict item 7: packed-chroma retile fold, measured promote-or-reject.
+    # At 4K the retile tax the fold erases is ~4x bigger (~71 us/frame,
+    # docs/PERF.md "4K numbers") while the fold's extra MACs scale ~linearly
+    # with pixels -- race both geometries before deciding.
     ("chromafold_race", 1500, [sys.executable, "-m", "tools.chromafold_exp",
                                "--race"]),
+    ("chromafold_race_4k", 1500, [sys.executable, "-m", "tools.chromafold_exp",
+                                  "--race", "--geometry", "3840x2160"]),
 ]
 
 
