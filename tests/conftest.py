@@ -14,6 +14,14 @@ import sys
 # needed -- the axon plugin ignores one or the other in some code paths.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Clear the pool address for the WHOLE suite, including every subprocess a
+# test spawns: a non-empty PALLAS_AXON_POOL_IPS makes sitecustomize dial the
+# relay at INTERPRETER STARTUP (before any script/env code runs), which
+# blocks for the subprocess's full timeout while the backend is wedged --
+# this timed out all four examples/ subprocess tests in round 5.  Tests that
+# need a real-TPU child (test_tpu_hardware) go through tools/tpu_engine_check,
+# which restores a non-empty address for its axon children itself.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 # Persistent XLA compile cache: interpret-mode Pallas graphs take 20-50 s to
 # compile per geometry on CPU and dominate suite wall time; with the cache a
