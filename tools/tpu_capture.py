@@ -97,18 +97,30 @@ def _log_health(state: str) -> None:
     print(line, end="", flush=True)
 
 
-def backend_healthy(timeout: int = 90) -> bool:
+def probe_backend(timeout: int = 90) -> tuple[bool, str]:
     """Bounded subprocess probe; a wedged backend costs `timeout` seconds of
-    the poller's time and nothing of the caller's (import jax would block)."""
+    the poller's time and nothing of the caller's (import jax would block).
+
+    Returns (healthy, mode): mode distinguishes a HANG (the classic wedge:
+    the probe eats its whole timeout) from a fast ERROR (the backend answers
+    with e.g. UNAVAILABLE -- seen while the server recycles a stuck compile,
+    round 5) -- different states, worth telling apart in the health log."""
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
              "import jax; assert jax.devices(); print('OK')"],
             env=_env(), capture_output=True, text=True,
             timeout=timeout, cwd=REPO)
-        return proc.returncode == 0 and "OK" in proc.stdout
+        if proc.returncode == 0 and "OK" in proc.stdout:
+            return True, "ok"
+        tail = proc.stderr.strip().splitlines()
+        return False, f"error: {tail[-1][:90] if tail else proc.returncode}"
     except subprocess.TimeoutExpired:
-        return False
+        return False, f"hang (>{timeout}s)"
+
+
+def backend_healthy(timeout: int = 90) -> bool:
+    return probe_backend(timeout)[0]
 
 
 def _atomic_write(path: str, payload) -> None:
@@ -222,16 +234,18 @@ def watch(round_no: int, interval: int, max_hours: float,
     while time.time() < deadline:
         if os.path.exists(SUITE_LOCK):
             _log_health("capture-waiting (suite.lock present)")
-        elif backend_healthy():
-            _log_health("HEALTHY")
-            manifest = run_capture(round_no, only)
-            st = status(round_no)
-            if st["banked"] >= (len(only) if only else len(STEPS)):
-                print(json.dumps(st, indent=2))
-                return 0
-            # partial (wedged mid-capture): keep polling, resume later
         else:
-            _log_health("wedged")
+            healthy, mode = probe_backend()
+            if healthy:
+                _log_health("HEALTHY")
+                manifest = run_capture(round_no, only)
+                st = status(round_no)
+                if st["banked"] >= (len(only) if only else len(STEPS)):
+                    print(json.dumps(st, indent=2))
+                    return 0
+                # partial (wedged mid-capture): keep polling, resume later
+            else:
+                _log_health(f"wedged [{mode}]")
         time.sleep(interval)
     print(json.dumps(status(round_no), indent=2))
     return 1
