@@ -56,6 +56,15 @@ def luma_grid_shape(width: int, height: int,
     return _ceil_to(by, eby), _ceil_to(bx, ebx)
 
 
+def _chroma_grid_bx(width: int, chroma_block: tuple[int, int]) -> int:
+    """Lane-aligned chroma tile-grid columns for a non-sheared geometry
+    (the grid deblock_tiles_pallas will sweep; mirrors its adaptive clamp)."""
+    from ..ops.pallas_kernel import effective_block_bx
+
+    cbx = (width // 2 + 2 * HALF_BLOCK) // SAMPLE_BLOCK_SIZE
+    return _ceil_to(cbx, effective_block_bx(chroma_block[1], cbx))
+
+
 def _pack_out(buf, parts_at, inplace):
     """Assemble the output packed buffer from (row-offset, segment) pieces
     (buf and segments share trailing dims; offsets index the leading axis).
@@ -160,7 +169,8 @@ def _deblock_planes_impl(y, uv, lm, cm, beta, tc, w, h, luma_only, backend,
 def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
                               luma_block=(BLOCK_BY, BLOCK_BX),
                               chroma_block=CHROMA_BLOCK,
-                              yperms=None, luma_grid=None, inplace=False):
+                              yperms=None, luma_grid=None, inplace=False,
+                              chroma_fold=False):
     """Device-side: packed YV12 uint8 (3h/2, w) -> filtered packed YV12.
 
     The buffer is 2-D ((3h/2, w) -- the same bytes as the flat YV12 file
@@ -171,10 +181,38 @@ def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
     dynamic-update-slice (free); only the chroma region pays a ~1 MB
     retile to (2, ch, cw) and back.  The filter math is the planes contract
     (_deblock_planes_impl); this wrapper just adds the packed-buffer
-    boundary."""
+    boundary.
+
+    chroma_fold=True (GVCT_PACKED_CHROMA=fold; pallas backend, non-sheared
+    geometries): even that chroma retile goes away -- the packed rows feed
+    the fold relayout dots directly (utils.tiles.packed_rows_to_chroma_tiles
+    / chroma_tiles_to_packed_rows; yperms[2:4] carry the fold operands).
+    Bit-identical; the trade is 2x chroma relayout MACs for zero retile
+    copies (raced on hardware by tools/chromafold_exp.py)."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     y = buf[:h]
+    if chroma_fold and not luma_only:
+        from ..ops.pallas_kernel import deblock_tiles_pallas
+        from ..utils.tiles import (
+            chroma_tiles_to_packed_rows, packed_rows_to_chroma_tiles,
+        )
+
+        # luma via the planes path (uv operand unused under luma_only)
+        dummy_uv = jnp.zeros((2, 8, 8), jnp.uint8)
+        y_int, _ = _deblock_planes_impl(
+            y, dummy_uv, lm, cm, beta, tc, w, h, True, backend,
+            luma_block, chroma_block, yperms, luma_grid)
+        cby = (ch + 2 * p) // SAMPLE_BLOCK_SIZE
+        cbxg = _chroma_grid_bx(w, chroma_block)
+        t = packed_rows_to_chroma_tiles(buf[h:], p, h, w, cby, cbxg,
+                                        yperms[2])
+        cmaps = [m[None] for m in cm]  # one shared map across the U/V batch
+        t_out = deblock_tiles_pallas(t, *cmaps, beta, tc, chroma=True,
+                                     block_by=chroma_block[0],
+                                     block_bx=chroma_block[1])
+        reg = chroma_tiles_to_packed_rows(t_out, p, h, w, yperms[3])
+        return _pack_out(buf, [(0, y_int), (h, reg)], inplace)
     uv = buf[h:].reshape(2, ch, cw)
     y_int, uv_int = _deblock_planes_impl(
         y, uv, lm, cm, beta, tc, w, h, luma_only, backend,
@@ -186,7 +224,7 @@ def _deblock_yv12_packed_impl(buf, lm, cm, beta, tc, w, h, luma_only, backend,
 
 
 _PACKED_STATIC = ("w", "h", "luma_only", "backend", "luma_block",
-                  "chroma_block", "luma_grid", "inplace")
+                  "chroma_block", "luma_grid", "inplace", "chroma_fold")
 
 # borrow-safe step: buf stays valid (callers that reuse the input buffer)
 _deblock_yv12_packed = functools.partial(jax.jit, static_argnames=_PACKED_STATIC)(
@@ -215,10 +253,10 @@ _deblock_planes_donated = jax.jit(
 
 @functools.partial(jax.jit, static_argnames=("n", "w", "h", "luma_only", "backend",
                                               "luma_block", "chroma_block",
-                                              "luma_grid"))
+                                              "luma_grid", "chroma_fold"))
 def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
                            luma_block=(BLOCK_BY, BLOCK_BX), chroma_block=CHROMA_BLOCK,
-                           yperms=None, luma_grid=None):
+                           yperms=None, luma_grid=None, chroma_fold=False):
     """n chained packed-YV12 deblock steps in ONE dispatch (lax.fori_loop):
     the device-time measurement primitive.  Over a network-attached device a
     wall/N loop of individual dispatches is floored by per-call RTT
@@ -234,7 +272,8 @@ def _deblock_yv12_packed_n(buf, lm, cm, beta, tc, n, w, h, luma_only, backend,
         lambda _, b: _deblock_yv12_packed_impl(b, lm, cm, beta, tc, w, h,
                                                luma_only, backend, luma_block,
                                                chroma_block, yperms, luma_grid,
-                                               inplace=True),
+                                               inplace=True,
+                                               chroma_fold=chroma_fold),
         buf,
     )
 
@@ -265,8 +304,19 @@ class StreamingDeblocker:
         self._luma_block = tuple(luma_block)
         self._chroma_block = tuple(chroma_block)
         self._luma_grid = luma_grid_shape(width, height, self._luma_block)
+        # GVCT_PACKED_CHROMA=fold (pallas backend, non-sheared geometries):
+        # the packed step's chroma boundary runs through the fold relayout
+        # dots instead of the (h/2, w) <-> (2, ch, cw) retile copies --
+        # bit-identical (tests/test_streaming.py); which is faster is
+        # geometry-dependent (tools/chromafold_exp.py races it on hardware).
+        import os
+
+        self._chroma_fold = (
+            backend == "pallas" and not luma_only
+            and (width // 2 + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0
+            and os.environ.get("GVCT_PACKED_CHROMA", "retile") == "fold")
         if backend == "pallas":
-            from ..utils.tiles import tile_perm_device
+            from ..utils.tiles import fold_perm_device, tile_perm_device
 
             bxg = self._luma_grid[1]
             perms = [tile_perm_device(width, HALF_BLOCK, False, bxg),
@@ -275,18 +325,26 @@ class StreamingDeblocker:
             if (cw + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0 and not luma_only:
                 # non-sheared Q9 geometry: chroma uses the fused relayout too,
                 # on the same lane-aligned grid the kernel will sweep
-                from ..ops.pallas_kernel import effective_block_bx
-
-                cbx = (cw + 2 * HALF_BLOCK) // SAMPLE_BLOCK_SIZE
-                cbxg = -(-cbx // effective_block_bx(self._chroma_block[1], cbx)
-                         ) * effective_block_bx(self._chroma_block[1], cbx)
+                cbxg = _chroma_grid_bx(width, self._chroma_block)
                 perms += [tile_perm_device(cw, HALF_BLOCK, False, cbxg),
                           tile_perm_device(cw, HALF_BLOCK, True, cbxg)]
             else:
                 perms += [None, None]
             self._yperms = tuple(perms)
+            if self._chroma_fold:
+                # the PACKED step swaps the interior chroma perms for the
+                # fold operands; step_planes keeps self._yperms (its chroma
+                # stays at plane granularity, no packed boundary to fold)
+                cbxg = _chroma_grid_bx(width, self._chroma_block)
+                self._packed_yperms = (
+                    perms[0], perms[1],
+                    fold_perm_device(width, HALF_BLOCK, cbxg, False),
+                    fold_perm_device(width, HALF_BLOCK, cbxg, True))
+            else:
+                self._packed_yperms = self._yperms
         else:
             self._yperms = None
+            self._packed_yperms = None
         self.update_boundary_strength(bs or BoundaryStrength.intra_default(width, height))
 
     def update_boundary_strength(self, bs: BoundaryStrength) -> None:
@@ -317,7 +375,8 @@ class StreamingDeblocker:
             w=self.width, h=self.height,
             luma_only=self._luma_only, backend=self._backend,
             luma_block=self._luma_block, chroma_block=self._chroma_block,
-            yperms=self._yperms, luma_grid=self._luma_grid, inplace=True,
+            yperms=self._packed_yperms, luma_grid=self._luma_grid,
+            inplace=True, chroma_fold=self._chroma_fold,
         )
 
     def step_planes(self, y, uv):
@@ -357,7 +416,8 @@ class StreamingDeblocker:
             w=self.width, h=self.height,
             luma_only=self._luma_only, backend=self._backend,
             luma_block=self._luma_block, chroma_block=self._chroma_block,
-            yperms=self._yperms, luma_grid=self._luma_grid, inplace=False,
+            yperms=self._packed_yperms, luma_grid=self._luma_grid,
+            inplace=False, chroma_fold=self._chroma_fold,
         )
 
     def _chain(self, dev_buf, n: int):
@@ -367,7 +427,8 @@ class StreamingDeblocker:
             n=n, w=self.width, h=self.height,
             luma_only=self._luma_only, backend=self._backend,
             luma_block=self._luma_block, chroma_block=self._chroma_block,
-            yperms=self._yperms, luma_grid=self._luma_grid,
+            yperms=self._packed_yperms, luma_grid=self._luma_grid,
+            chroma_fold=self._chroma_fold,
         )
 
     def _host_frame(self, frame) -> np.ndarray:

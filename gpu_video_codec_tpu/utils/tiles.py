@@ -551,6 +551,100 @@ def tiles_to_interior(tiles, pad: int, h: int, w: int, *, perm=None):
     return o.astype(jnp.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Packed-chroma fold engine (GVCT_PACKED_CHROMA=fold, round 5).
+#
+# The packed YV12 graph's chroma boundary is buf[h:] (h/2, w) <-> (2, ch, cw)
+# -- a minor-dim width change the (8,128) tiled layout realizes as byte-
+# shuffle copies (~17 us/frame at 1080p, ~71 us at 4K; docs/PERF.md).  The
+# fold expresses the SAME boundary as wider one-hot dots: packed row r of a
+# plane holds plane rows 2r and 2r+1 side by side (w = 2*cw), so the row
+# PARITY rides the output-column space of a (w, 2*8*cbxg) forward one-hot,
+# and the residual-reorder transpose absorbs it by splitting packed rows
+# (By, rh) and merging r8 = 2*rh + q -- minor dim untouched, same cost class
+# as the production reorder.  Inverse symmetric: (2*8*cbxg, w) emits packed
+# rows directly.  Bit-exact by construction (one-hot selection); the trade
+# is 2x the relayout MACs for zero retile copies -- geometry-dependent,
+# raced on hardware by tools/chromafold_exp.py.  Non-sheared Q9 geometries
+# only (w % 16 == 0); sheared geometries keep the retile path.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_perm_np(w: int, pad: int, cbxg: int, inverse: bool):
+    """One-hot for the parity-split de-interleave of packed chroma rows.
+
+    Forward (w, 2*8*cbxg): packed col c = q*cw + c_int -> output col
+    q*(8*cbxg) + (g % 8)*cbxg + g//8 with g = c_int + pad; padding/grid-tail
+    output columns select nothing -> 0 (Q6 free, like _perm_np_interior).
+    Inverse (2*8*cbxg, w): the transpose restricted to interior columns."""
+    import numpy as np
+
+    b = SAMPLE_BLOCK_SIZE
+    cw = w // 2
+    cols = 2 * b * cbxg
+    c = np.arange(w)
+    q, c_int = c // cw, c % cw
+    g = c_int + pad
+    tgt = q * (b * cbxg) + (g % b) * cbxg + g // b
+    if inverse:
+        m = np.zeros((cols, w), np.float32)
+        m[tgt, c] = 1.0
+    else:
+        m = np.zeros((w, cols), np.float32)
+        m[c, tgt] = 1.0
+    return m
+
+
+def fold_perm_device(w: int, pad: int, cbxg: int, inverse: bool):
+    """Device operands for the packed-chroma fold dots (same (mat, bias)
+    contract as tile_perm_device; pass as step arguments, not closures)."""
+    return _perm_device(_fold_perm_np(w, pad, cbxg, inverse))
+
+
+def packed_rows_to_chroma_tiles(region, pad: int, h: int, w: int, cby: int,
+                                cbxg: int, perm):
+    """Packed chroma rows (h/2, w) -> (2, 8, 8, cby, cbxg) tile-planes,
+    bit-equal to region.reshape(2, ch, cw) -> interior_to_tiles(...), with
+    the plane-split retile folded into the dot."""
+    import jax
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    ch = h // 2
+    packed_rows = cby * b // 2          # covered ext rows per plane / 2
+    pad_packed = pad // 2
+    reg3 = region.reshape(2, ch // 2, w)            # leading split: free
+    bot = packed_rows - pad_packed - ch // 2        # covered bottom pad rows
+    reg3 = jnp.pad(reg3, ((0, 0), (pad_packed, bot), (0, 0)))
+    o = _onehot_dot(reg3, perm, 1)                  # (2, rows, 2*8*cbxg) i32
+    # uint8 in the dot epilogue, held by a barrier (see interior_to_tiles)
+    o = jax.lax.optimization_barrier(o.astype(jnp.uint8))
+    # rows = (By, rh); minor flat = (q, c8, t).  r8 = 2*rh + q.
+    o = o.reshape(2, cby, 4, 2, b, cbxg)
+    o = o.transpose(0, 2, 3, 4, 1, 5)               # (pl, rh, q, c8, By, Bx)
+    return o.reshape(2, b, b, cby, cbxg)            # merge (rh, q) -> r8
+
+
+def chroma_tiles_to_packed_rows(tiles, pad: int, h: int, w: int, perm):
+    """(2, 8, 8, cby, cbxg) filtered tile-planes -> packed chroma rows
+    (h/2, w), bit-equal to tiles_to_interior(...) -> reshape(h/2, w), with
+    the write-back retile folded into the dot."""
+    import jax.numpy as jnp
+
+    b = SAMPLE_BLOCK_SIZE
+    ch = h // 2
+    _, _, _, cby, cbxg = tiles.shape
+    packed_rows = cby * b // 2
+    pad_packed = pad // 2
+    o = tiles.reshape(2, 4, 2, b, cby, cbxg)        # r8 -> (rh, q)
+    o = o.transpose(0, 4, 1, 2, 3, 5)               # (pl, By, rh, q, c8, Bx)
+    o = o.reshape(2, packed_rows, 2 * b * cbxg)     # rows=(By,rh); minor=(q,c8,t)
+    o = o[:, pad_packed : pad_packed + ch // 2, :]  # interior rows BEFORE dot
+    o = _onehot_dot(o, perm, 1)                     # (2, ch/2, w)
+    return o.astype(jnp.uint8).reshape(h // 2, w)   # leading merge: free
+
+
 def plane_to_tiles(plane):
     """(.., Hext, Wext) -> (.., 8, 8, By, Bx); T[.., r, c, by, bx] == plane[.., 8by+r, 8bx+c]."""
     b = SAMPLE_BLOCK_SIZE

@@ -197,3 +197,60 @@ class TestPlanesContract:
         ref = np.asarray(jax.device_get(buf)).ravel()
         assert np.array_equal(np.asarray(y).ravel(), ref[: w * h])
         assert np.array_equal(np.asarray(uv).ravel(), ref[w * h :])
+
+
+class TestPackedChromaFold:
+    """GVCT_PACKED_CHROMA=fold: the packed step's chroma boundary runs
+    through the fold relayout dots (utils/tiles.py) instead of the
+    (h/2, w) <-> (2, ch, cw) retile copies.  Must be byte-identical to the
+    default engine AND the golden oracle; sheared geometries must fall back
+    to the retile path."""
+
+    def _sd(self, monkeypatch, w, h, engine):
+        monkeypatch.setenv("GVCT_PACKED_CHROMA", engine)
+        monkeypatch.setenv("GVCT_RELAYOUT", "mxu")  # fold dots on, off-TPU
+        return StreamingDeblocker(w, h, 35, backend="pallas")
+
+    @pytest.mark.parametrize("geom", [(64, 48), (96, 72)])
+    def test_fold_bit_identical(self, rng, monkeypatch, geom):
+        import jax
+
+        w, h = geom
+        raw = _raw_frame(rng, w, h)
+        s_fold = self._sd(monkeypatch, w, h, "fold")
+        assert s_fold._chroma_fold
+        out_fold = np.asarray(jax.device_get(s_fold._step(s_fold._put(raw))))
+        s_base = self._sd(monkeypatch, w, h, "retile")
+        assert not s_base._chroma_fold
+        out_base = np.asarray(jax.device_get(s_base._step(s_base._put(raw))))
+        assert np.array_equal(out_fold, out_base)
+        gold = deblock_frame_golden(
+            planes_from_yv12_bytes(raw, w, h),
+            BoundaryStrength.intra_default(w, h), 35)
+        assert out_fold.ravel().tobytes() == yv12_bytes_from_planes(gold)
+
+    def test_sheared_geometry_falls_back(self, rng, monkeypatch):
+        # w % 16 == 8: extended chroma width not 8-aligned (Q9 sheared) --
+        # the knob must quietly keep the retile path and stay exact
+        import jax
+
+        w, h = 56, 72
+        s = self._sd(monkeypatch, w, h, "fold")
+        assert not s._chroma_fold
+        raw = _raw_frame(rng, w, h)
+        out = np.asarray(jax.device_get(s._step(s._put(raw))))
+        gold = deblock_frame_golden(
+            planes_from_yv12_bytes(raw, w, h),
+            BoundaryStrength.intra_default(w, h), 35)
+        assert out.ravel().tobytes() == yv12_bytes_from_planes(gold)
+
+    def test_fold_chain_matches(self, rng, monkeypatch):
+        import jax
+
+        w, h = 64, 48
+        raw = _raw_frame(rng, w, h)
+        s_fold = self._sd(monkeypatch, w, h, "fold")
+        out_n = np.asarray(jax.device_get(s_fold._chain(s_fold._put(raw), 2)))
+        s_base = self._sd(monkeypatch, w, h, "retile")
+        ref = np.asarray(jax.device_get(s_base._chain(s_base._put(raw), 2)))
+        assert np.array_equal(out_n, ref)
