@@ -8,7 +8,8 @@ TPU-hardware equality claim otherwise rests on dev-session device traces
 byte-identical invariant on hardware with no test noticing.  This test
 runs tools/tpu_engine_check.py, which byte-compares the resident
 ingest -> step -> readback path against the golden oracle on the real
-device for every engine config.
+device for every engine config, plus the packed StreamingDeblocker step
+under both chroma-boundary engines (retile / round-5 fold).
 
 SKIPS when no TPU is reachable or the dev tunnel is wedged (child
 timeout); FAILS on an actual hardware byte mismatch.
@@ -29,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_relayout_engines_byte_exact_on_tpu():
     proc = subprocess.run(
         [sys.executable, "-m", "tools.tpu_engine_check", "--timeout", "420"],
-        capture_output=True, text=True, cwd=REPO, timeout=4 * 420 + 180)
+        capture_output=True, text=True, cwd=REPO, timeout=6 * 420 + 180)
     assert proc.returncode == 0, proc.stderr[-800:]
     result = json.loads(proc.stdout)
     if result["skipped"]:

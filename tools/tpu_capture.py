@@ -53,7 +53,7 @@ HEALTH_LOG = "/tmp/tpu_health.log"
 # hardware gate, then the profiling floor races, then multistream.
 STEPS: list[tuple[str, int, list[str]]] = [
     ("headline", 2700, [sys.executable, "bench.py"]),
-    ("engine_gate", 2400, [sys.executable, "-m", "tools.tpu_engine_check",
+    ("engine_gate", 3000, [sys.executable, "-m", "tools.tpu_engine_check",
                            "--timeout", "420"]),
     ("profile_1080p", 1500, [sys.executable, "-m", "tools.profile_device"]),
     ("profile_4k", 1800, [sys.executable, "-m", "tools.profile_device",

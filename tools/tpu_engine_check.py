@@ -56,13 +56,25 @@ sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
 
-# engine configs to verify on hardware; every one must be byte-identical
+# engine configs to verify on hardware; every one must be byte-identical.
+# The four relayout-dtype configs drive the resident tile-planes path; the
+# two "packed_*" configs drive the packed YV12 StreamingDeblocker step
+# (GVCT_ENGINE_CHECK_DRIVER=packed) so the packed graph's chroma-boundary
+# engines (retile copies vs the round-5 parity-split fold dots) also get a
+# hardware byte-compare — on the sheared 56x72 geometry the fold config
+# exercises its silent retile fallback.
 CONFIGS = {
     "u8": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "u8"},
     "u8_factored": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "u8",
                     "GVCT_RELAYOUT_FACT": "1"},
     "s8": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "s8"},
     "bf16": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "bf16"},
+    "packed_retile": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "u8",
+                      "GVCT_ENGINE_CHECK_DRIVER": "packed",
+                      "GVCT_PACKED_CHROMA": "retile"},
+    "packed_fold": {"GVCT_RELAYOUT": "mxu", "GVCT_RELAYOUT_DTYPE": "u8",
+                    "GVCT_ENGINE_CHECK_DRIVER": "packed",
+                    "GVCT_PACKED_CHROMA": "fold"},
 }
 
 GEOMETRIES = [(64, 48), (56, 72)]  # regular + Q9-sheared chroma view
@@ -76,7 +88,12 @@ if (jax.default_backend() != "tpu"
         and not os.environ.get("GVCT_ENGINE_CHECK_ALLOW_CPU")):
     print("ENGINE_SKIP no-tpu", jax.default_backend())
     sys.exit(0)
-from gpu_video_codec_tpu.models.resident import ResidentDeblocker
+driver = os.environ.get("GVCT_ENGINE_CHECK_DRIVER", "resident")
+if driver == "packed":
+    from gpu_video_codec_tpu.models.streaming import StreamingDeblocker
+    from gpu_video_codec_tpu.ops.tables import HALF_BLOCK, SAMPLE_BLOCK_SIZE
+else:
+    from gpu_video_codec_tpu.models.resident import ResidentDeblocker
 data = np.load({npz!r})
 results = {{}}
 for key in data.files:
@@ -85,7 +102,17 @@ for key in data.files:
     tag = key[4:]
     w, h = (int(v) for v in tag.split("x"))
     raw, want = data[key], data["gold_" + tag]
-    got = ResidentDeblocker(w, h, qp=35)(raw)
+    if driver == "packed":
+        sd = StreamingDeblocker(w, h, qp=35)
+        # the fold must actually engage on non-sheared geometries (else this
+        # config would silently re-test retile) and fall back on sheared ones
+        fold_wanted = (os.environ.get("GVCT_PACKED_CHROMA") == "fold"
+                       and (w // 2 + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0)
+        assert sd._chroma_fold == fold_wanted, (tag, sd._chroma_fold)
+        got = np.asarray(jax.device_get(sd._step_borrow(
+            jax.device_put(raw.reshape(3 * h // 2, w))))).ravel()
+    else:
+        got = ResidentDeblocker(w, h, qp=35)(raw)
     results[tag] = bool(np.array_equal(got, want))
 print("ENGINE_RESULT", json.dumps(results))
 """
@@ -122,6 +149,7 @@ def run(timeout: int = 600, extra_geometry: tuple[int, int] | None = None,
             env = dict(os.environ)
             for k in ("GVCT_RELAYOUT", "GVCT_RELAYOUT_DTYPE",
                       "GVCT_RELAYOUT_FACT", "GVCT_RELAYOUT_SPLIT",
+                      "GVCT_PACKED_CHROMA", "GVCT_ENGINE_CHECK_DRIVER",
                       "JAX_PLATFORM_NAME"):
                 env.pop(k, None)
             env.update(knobs)
