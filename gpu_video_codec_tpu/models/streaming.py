@@ -311,9 +311,14 @@ class StreamingDeblocker:
         # geometry-dependent (tools/chromafold_exp.py races it on hardware).
         import os
 
+        cw = width // 2
+        # Q9: the flat chroma sweep is non-sheared iff the extended chroma
+        # width is lane-aligned -- the single predicate that gates both the
+        # fused chroma relayout and the fold engine
+        chroma_fused = ((cw + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0
+                        and not luma_only)
         self._chroma_fold = (
-            backend == "pallas" and not luma_only
-            and (width // 2 + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0
+            backend == "pallas" and chroma_fused
             and os.environ.get("GVCT_PACKED_CHROMA", "retile") == "fold")
         if backend == "pallas":
             from ..utils.tiles import fold_perm_device, tile_perm_device
@@ -321,8 +326,7 @@ class StreamingDeblocker:
             bxg = self._luma_grid[1]
             perms = [tile_perm_device(width, HALF_BLOCK, False, bxg),
                      tile_perm_device(width, HALF_BLOCK, True, bxg)]
-            cw = width // 2
-            if (cw + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0 and not luma_only:
+            if chroma_fused:
                 # non-sheared Q9 geometry: chroma uses the fused relayout too,
                 # on the same lane-aligned grid the kernel will sweep
                 cbxg = _chroma_grid_bx(width, self._chroma_block)
@@ -335,7 +339,6 @@ class StreamingDeblocker:
                 # the PACKED step swaps the interior chroma perms for the
                 # fold operands; step_planes keeps self._yperms (its chroma
                 # stays at plane granularity, no packed boundary to fold)
-                cbxg = _chroma_grid_bx(width, self._chroma_block)
                 self._packed_yperms = (
                     perms[0], perms[1],
                     fold_perm_device(width, HALF_BLOCK, cbxg, False),

@@ -89,13 +89,16 @@ def check(geometries=((64, 48), (1920, 1080), (352, 288))) -> dict:
         t_fold = packed_rows_to_chroma_tiles(dreg, HALF_BLOCK, h, w, cby,
                                              cbxg, fwd)
         reg_fold = chroma_tiles_to_packed_rows(t_fold, HALF_BLOCK, h, w, inv)
+        # device_get, never np.asarray, for computed device arrays (axon
+        # takes a pathological per-element path on the latter -- CLAUDE.md)
+        import jax
+
+        t_ref, t_fold, reg_ref, reg_fold = (
+            jax.device_get((t_ref, t_fold, reg_ref, reg_fold)))
         out[f"{w}x{h}"] = {
-            "fwd_tiles_equal": bool(np.array_equal(np.asarray(t_ref),
-                                                   np.asarray(t_fold))),
-            "roundtrip_equal": bool(np.array_equal(np.asarray(reg_ref),
-                                                   np.asarray(reg_fold))),
-            "roundtrip_is_identity": bool(np.array_equal(
-                np.asarray(reg_fold), region)),
+            "fwd_tiles_equal": bool(np.array_equal(t_ref, t_fold)),
+            "roundtrip_equal": bool(np.array_equal(reg_ref, reg_fold)),
+            "roundtrip_is_identity": bool(np.array_equal(reg_fold, region)),
         }
     out["ok"] = all(all(v.values()) for k, v in out.items() if k != "ok")
     return out
@@ -173,6 +176,16 @@ if __name__ == "__main__":
     ap.add_argument("--geometry", default="1920x1080")
     a = ap.parse_args()
     if a.check:
+        # --check is a CPU job: force the CPU backend so the dots neither
+        # trace over the tunnel nor block on a wedged backend (if the pool
+        # var was set at interpreter startup, sitecustomize has already
+        # dialed -- launch with PALLAS_AXON_POOL_IPS= for full immunity)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platform_name", "cpu")
         print(json.dumps(check(), indent=2))
     if a.race:
         gw, gh = (int(x) for x in a.geometry.split("x"))

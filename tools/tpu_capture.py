@@ -148,6 +148,42 @@ def _parse_json_tail(stdout: str):
     return None
 
 
+def _fresh(name: str, parsed) -> bool:
+    """True iff `parsed` is a FRESH hardware measurement for this step.
+
+    Several capture children exit 0 with a gracefully-degraded record that
+    must NOT be banked as 'ok' (banking stops every retry for the round):
+    bench.py emits `value: null, stale: true` when its internal watchdog
+    fires on a wedged backend; tpu_engine_check exits 0 with `skipped: true`
+    when every config skipped; chromafold --race and profile runs report an
+    error/no-trace shape off-device."""
+    if not isinstance(parsed, dict):
+        return False
+    if "error" in parsed:
+        return False
+    if name == "headline":
+        return parsed.get("value") is not None and not parsed.get("stale")
+    if name == "engine_gate":
+        return parsed.get("skipped") is False
+    if name.startswith("profile_"):
+        return any(isinstance(v, dict)
+                   and v.get("device_mpix_s") is not None
+                   for v in parsed.values())
+    return True
+
+
+def _claim_suite_lock() -> bool:
+    """Atomically create SUITE_LOCK; False if another process holds it.
+    Only the claimant may remove it (a capture must never delete a lock a
+    concurrently running test suite created — one CPU core)."""
+    try:
+        fd = os.open(SUITE_LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        return True
+    except FileExistsError:
+        return False
+
+
 def run_capture(round_no: int, only: list[str] | None = None) -> dict:
     cap_dir = os.path.join(REPO, "bench", f"capture_r{round_no}")
     os.makedirs(cap_dir, exist_ok=True)
@@ -159,7 +195,10 @@ def run_capture(round_no: int, only: list[str] | None = None) -> dict:
                 manifest = json.load(f)
         except ValueError:
             pass
-    open(SUITE_LOCK, "a").close()  # no concurrent suites on the one core
+    if not _claim_suite_lock():
+        print("[capture] suite.lock held by another process; not capturing "
+              "(one CPU core -- rerun when the suite finishes)")
+        return manifest
     try:
         for name, step_timeout, argv in STEPS:
             if only and name not in only:
@@ -179,7 +218,13 @@ def run_capture(round_no: int, only: list[str] | None = None) -> dict:
                 _atomic_write(os.path.join(cap_dir, f"{name}.log"),
                               proc.stdout + "\n--- stderr ---\n" + proc.stderr)
                 parsed = _parse_json_tail(proc.stdout)
-                if proc.returncode == 0 and parsed is not None:
+                if (proc.returncode == 0 and parsed is not None
+                        and not _fresh(name, parsed)):
+                    # exited 0 but the record is a degraded/stale/skip shape
+                    # -- leave it un-banked so a later healthy window retries
+                    row["status"] = "stale"
+                    row["stale_detail"] = json.dumps(parsed)[:300]
+                elif proc.returncode == 0 and parsed is not None:
                     row["status"] = "ok"
                     _atomic_write(os.path.join(cap_dir, f"{name}.json"),
                                   {"round": round_no,
@@ -201,7 +246,7 @@ def run_capture(round_no: int, only: list[str] | None = None) -> dict:
             manifest["steps"][name] = row
             _atomic_write(manifest_path, manifest)
             print(f"[capture] {name}: {row['status']} ({row['elapsed_s']}s)")
-            if row["status"] == "timeout" and not backend_healthy():
+            if row["status"] in ("timeout", "stale") and not backend_healthy():
                 print("[capture] backend wedged mid-capture; stopping "
                       "(banked steps are kept; re-run resumes)")
                 break
@@ -230,17 +275,35 @@ def status(round_no: int) -> dict:
 
 def watch(round_no: int, interval: int, max_hours: float,
           only: list[str] | None = None) -> int:
+    wanted = [n for n, _, _ in STEPS if (not only or n in only)]
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
         if os.path.exists(SUITE_LOCK):
-            _log_health("capture-waiting (suite.lock present)")
+            # a SIGKILLed capture/suite can orphan the lock; suites and
+            # captures here run well under 2 h -- reap anything older
+            try:
+                age = time.time() - os.path.getmtime(SUITE_LOCK)
+            except OSError:
+                age = 0.0
+            if age > 7200:
+                _log_health(f"reaping stale suite.lock (age {age / 3600:.1f}h)")
+                try:
+                    os.remove(SUITE_LOCK)
+                except OSError:
+                    pass
+            else:
+                _log_health("capture-waiting (suite.lock present)")
         else:
             healthy, mode = probe_backend()
             if healthy:
                 _log_health("HEALTHY")
-                manifest = run_capture(round_no, only)
+                run_capture(round_no, only)
                 st = status(round_no)
-                if st["banked"] >= (len(only) if only else len(STEPS)):
+                # count banked among the REQUESTED steps only: other rounds'
+                # banked rows must not satisfy an --only run
+                done = sum(1 for n in wanted
+                           if st["steps"].get(n) == "ok")
+                if done >= len(wanted):
                     print(json.dumps(st, indent=2))
                     return 0
                 # partial (wedged mid-capture): keep polling, resume later
@@ -263,6 +326,11 @@ def main() -> int:
                     help="comma-separated subset of step names")
     args = ap.parse_args()
     only = args.only.split(",") if args.only else None
+    if only:
+        known = {n for n, _, _ in STEPS}
+        bad = [n for n in only if n not in known]
+        if bad:
+            ap.error(f"unknown step(s) {bad}; known: {sorted(known)}")
     if args.status:
         print(json.dumps(status(args.round), indent=2))
         return 0
