@@ -254,3 +254,26 @@ class TestPackedChromaFold:
         s_base = self._sd(monkeypatch, w, h, "retile")
         ref = np.asarray(jax.device_get(s_base._chain(s_base._put(raw), 2)))
         assert np.array_equal(out_n, ref)
+
+    def test_fold_with_injected_bs(self, rng, monkeypatch):
+        # randomized (non-default) BS must flow through the fold engine's
+        # chroma maps exactly as through the retile engine's -- the layout
+        # engines are BS-independent by construction; this pins it
+        import jax
+
+        w, h = 64, 48
+        raw = _raw_frame(rng, w, h)
+        bs = BoundaryStrength.intra_default(w, h)
+        bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8).astype(np.uint8),
+                    rng.integers(0, 3, bs.hor.size, dtype=np.uint8).astype(np.uint8))
+        bs.set_chroma(rng.integers(0, 3, bs.chroma_vert.size, dtype=np.uint8).astype(np.uint8),
+                      rng.integers(0, 3, bs.chroma_hor.size, dtype=np.uint8).astype(np.uint8))
+        outs = []
+        for engine in ("fold", "retile"):
+            s = self._sd(monkeypatch, w, h, engine)
+            s.update_boundary_strength(bs)
+            outs.append(np.asarray(jax.device_get(s._step(s._put(raw)))))
+        assert np.array_equal(outs[0], outs[1])
+        gold = deblock_frame_golden(
+            planes_from_yv12_bytes(raw, w, h), bs, 35)
+        assert outs[0].ravel().tobytes() == yv12_bytes_from_planes(gold)
