@@ -56,7 +56,11 @@ def load() -> ctypes.CDLL:
     ):
         _build()
     lib = ctypes.CDLL(_LIB)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
+    # plain void* for the pixel/BS buffers: _u8ptr passes raw addresses
+    # (cached ints), which is ~10 us/frame cheaper than constructing
+    # POINTER(c_uint8) objects per call -- at CIF that was ~10% of the
+    # whole filter time (round-5 profile)
+    u8p = ctypes.c_void_p
     lib.gvct_version.restype = ctypes.c_int
     lib.gvct_num_threads.restype = ctypes.c_int
     lib.gvct_active_isa.restype = ctypes.c_int
@@ -102,8 +106,27 @@ def avx512_compiled() -> bool:
     return bool(load().gvct_avx512_compiled())
 
 
-def _u8ptr(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+_ptr_cache: dict[int, int] = {}
+
+
+def _u8ptr(a: np.ndarray) -> int:
+    """Raw data address of `a`, cached by object identity.
+
+    numpy's `.ctypes` interface object costs ~1-2 us per access -- 7
+    conversions per deblock call made the fixed overhead ~20 us, ~20% of a
+    CIF frame (round-5 profile).  The cache entry is evicted by a weakref
+    finalizer at the array's deallocation, BEFORE its id can be reused, so
+    a stale address can never be served.  Callers must not in-place
+    `resize()` cached arrays (nothing in this package does); views/copies
+    have their own ids."""
+    k = id(a)
+    p = _ptr_cache.get(k)
+    if p is None:
+        import weakref
+
+        _ptr_cache[k] = p = a.ctypes.data
+        weakref.finalize(a, _ptr_cache.pop, k, None)
+    return p
 
 
 def deblock_frame_native(frame: FramePlanes, bs: BoundaryStrength, qp: int,
