@@ -116,9 +116,15 @@ def _u8ptr(a: np.ndarray) -> int:
     conversions per deblock call made the fixed overhead ~20 us, ~20% of a
     CIF frame (round-5 profile).  The cache entry is evicted by a weakref
     finalizer at the array's deallocation, BEFORE its id can be reused, so
-    a stale address can never be served.  Callers must not in-place
-    `resize()` cached arrays (nothing in this package does); views/copies
-    have their own ids."""
+    a stale address can never be served.
+
+    LIFETIME: this returns a bare int -- unlike `data_as(...)`, nothing
+    keeps `a` alive through the FFI call.  A caller must hold a strong
+    reference to `a` across the native call and must NEVER pass a
+    temporary (`_u8ptr(np.ascontiguousarray(x))` is a use-after-free).
+    Callers must also not in-place `resize()` cached arrays (nothing in
+    this package does); views/copies have their own ids.  For arrays the
+    wrapper itself just allocated (can never cache-hit), use _u8ptr_fresh."""
     k = id(a)
     p = _ptr_cache.get(k)
     if p is None:
@@ -127,6 +133,13 @@ def _u8ptr(a: np.ndarray) -> int:
         _ptr_cache[k] = p = a.ctypes.data
         weakref.finalize(a, _ptr_cache.pop, k, None)
     return p
+
+
+def _u8ptr_fresh(a: np.ndarray) -> int:
+    """Raw address of a freshly-allocated array, uncached (a per-call
+    buffer can never hit the identity cache -- caching it would only add
+    dict/finalizer churn).  Same lifetime rules as _u8ptr."""
+    return a.ctypes.data
 
 
 def deblock_frame_native(frame: FramePlanes, bs: BoundaryStrength, qp: int,
@@ -153,8 +166,12 @@ def deblock_frame_native(frame: FramePlanes, bs: BoundaryStrength, qp: int,
         y = np.ascontiguousarray(frame.y).copy()
         u = np.ascontiguousarray(frame.u).copy()
         v = np.ascontiguousarray(frame.v).copy()
+    # planes: cached only when the caller reuses them (inplace steady
+    # state); the non-inplace copies are per-call and would just churn the
+    # cache.  BS arrays are stable attributes -> always cached.
+    plane_ptr = _u8ptr if inplace else _u8ptr_fresh
     rc = lib.gvct_deblock_frame(
-        _u8ptr(y), _u8ptr(u), _u8ptr(v), frame.width, frame.height,
+        plane_ptr(y), plane_ptr(u), plane_ptr(v), frame.width, frame.height,
         _u8ptr(bs.vert), bs.vert.size, _u8ptr(bs.hor), bs.hor.size,
         _u8ptr(bs.chroma_vert), bs.chroma_vert.size,
         _u8ptr(bs.chroma_hor), bs.chroma_hor.size,
@@ -172,7 +189,7 @@ def pack_tiles_native(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     ny, nx = h // SAMPLE_BLOCK_SIZE, w // SAMPLE_BLOCK_SIZE
     out = np.empty((SAMPLE_BLOCK_SIZE, SAMPLE_BLOCK_SIZE, ny, nx), np.uint8)
-    lib.gvct_pack_tiles(_u8ptr(plane), h, w, _u8ptr(out))
+    lib.gvct_pack_tiles(_u8ptr_fresh(plane), h, w, _u8ptr_fresh(out))
     return out
 
 
@@ -181,5 +198,5 @@ def unpack_tiles_native(tiles: np.ndarray, hext: int, wext: int) -> np.ndarray:
     lib = load()
     tiles = np.ascontiguousarray(tiles, dtype=np.uint8)
     out = np.zeros((hext, wext), np.uint8)
-    lib.gvct_unpack_tiles(_u8ptr(tiles), hext, wext, _u8ptr(out))
+    lib.gvct_unpack_tiles(_u8ptr_fresh(tiles), hext, wext, _u8ptr_fresh(out))
     return out

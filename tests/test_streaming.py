@@ -264,13 +264,14 @@ class TestPackedChromaFold:
         w, h = 64, 48
         raw = _raw_frame(rng, w, h)
         bs = BoundaryStrength.intra_default(w, h)
-        bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8).astype(np.uint8),
-                    rng.integers(0, 3, bs.hor.size, dtype=np.uint8).astype(np.uint8))
-        bs.set_chroma(rng.integers(0, 3, bs.chroma_vert.size, dtype=np.uint8).astype(np.uint8),
-                      rng.integers(0, 3, bs.chroma_hor.size, dtype=np.uint8).astype(np.uint8))
+        bs.set_luma(rng.integers(0, 3, bs.vert.size, dtype=np.uint8),
+                    rng.integers(0, 3, bs.hor.size, dtype=np.uint8))
+        bs.set_chroma(rng.integers(0, 3, bs.chroma_vert.size, dtype=np.uint8),
+                      rng.integers(0, 3, bs.chroma_hor.size, dtype=np.uint8))
         outs = []
         for engine in ("fold", "retile"):
             s = self._sd(monkeypatch, w, h, engine)
+            assert s._chroma_fold == (engine == "fold")
             s.update_boundary_strength(bs)
             outs.append(np.asarray(jax.device_get(s._step(s._put(raw)))))
         assert np.array_equal(outs[0], outs[1])
