@@ -51,6 +51,34 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTDATA = os.path.join(REPO_ROOT, "testdata")
 
 
+_SUITE_LOCK = "/tmp/suite.lock"
+_suite_lock_claimed = False
+
+
+def pytest_configure(config):
+    # Claim /tmp/suite.lock for the suite's duration so the TPU capture
+    # watcher (tools/tpu_capture.py --watch) never starts a benchmark while
+    # tests hold the single CPU core.  O_EXCL: if another process already
+    # holds it, just proceed without ownership (we must not delete theirs).
+    global _suite_lock_claimed
+    try:
+        fd = os.open(_SUITE_LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        _suite_lock_claimed = True
+    except (FileExistsError, OSError):
+        pass
+
+
+def pytest_unconfigure(config):
+    global _suite_lock_claimed
+    if _suite_lock_claimed:
+        _suite_lock_claimed = False
+        try:
+            os.remove(_SUITE_LOCK)
+        except OSError:
+            pass
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
