@@ -79,6 +79,44 @@ def main() -> None:
         return
     timeout = int(os.environ.get("GVCT_BENCH_TIMEOUT", "2400"))
     env = dict(os.environ, GVCT_BENCH_CHILD="1")
+    # Fast wedge probe BEFORE committing to the full child timeout: in the
+    # hang-mode wedge (jax.devices() blocks; interpreter startup and
+    # `import jax` succeed -- round-5 observation) the child would burn the
+    # whole 2400 s before the stale record prints, and a driver less patient
+    # than that would record NOTHING.  A bounded device probe turns that
+    # into a stale record within ~2 min.  Probe timeout is generous vs the
+    # healthy case (~5-10 s device init over the tunnel).
+    probe_timeout = int(os.environ.get("GVCT_BENCH_PROBE_TIMEOUT", "120"))
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices(); print('OK')"],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=probe_timeout)
+        probe_ok = probe.returncode == 0 and "OK" in probe.stdout
+        probe_err = "" if probe_ok else (
+            (probe.stderr.strip().splitlines() or ["rc=%d" % probe.returncode]
+             )[-1][:120])
+    except subprocess.TimeoutExpired:
+        probe_ok, probe_err = False, f"device probe hang (>{probe_timeout}s)"
+    if not probe_ok:
+        error = f"backend wedged before bench: {probe_err}"
+        if os.path.exists(cache_path()):
+            try:
+                with open(cache_path()) as f:
+                    print(json.dumps(_stale_line(json.load(f), error)))
+                return
+            except (OSError, ValueError):
+                pass
+        print(json.dumps({
+            "metric": METRIC, "value": None, "unit": "Mpix/s",
+            "vs_baseline": None, "error": error,
+            "last_documented": {"packed_1080p_device_us": 132.8,
+                                "mpix_s_per_chip": 15611.4,
+                                "vs_baseline": 20.98,
+                                "source": "docs/PERF.md headline record "
+                                          "(device traces, round 3)"}}))
+        return
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,

@@ -131,11 +131,24 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     cache = tmp_path / "last_headline.json"
     monkeypatch.setenv("GVCT_BENCH_CACHE", str(cache))
 
+    class ProbeOk:
+        returncode = 0
+        stdout = "OK\n"
+        stderr = ""
+
     class Ok:
         returncode = 0
         stdout = 'compile log noise\n{"metric": "m", "value": 1.0}\n'
 
-    monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Ok())
+    def _is_probe(argv):
+        return "-c" in argv
+
+    def dispatch(child):
+        # the wedge probe runs first (python -c "import jax; ..."); the
+        # measurement child is bench.py itself
+        return lambda argv, **k: ProbeOk() if _is_probe(argv) else child()
+
+    monkeypatch.setattr(mod.subprocess, "run", dispatch(Ok))
     mod.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1 and json.loads(out[0])["value"] == 1.0
@@ -148,7 +161,7 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     # with a snapshot present, failure emits a stale record whose top-level
     # value/vs_baseline are NULL (a naive parser can never book old numbers
     # as fresh); the real last measurement lives under last_measured
-    monkeypatch.setattr(mod.subprocess, "run", lambda *a, **k: Bad())
+    monkeypatch.setattr(mod.subprocess, "run", dispatch(Bad))
     mod.main()
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["stale"] is True
@@ -157,10 +170,28 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     assert "rc=3" in rec["stale_error"] and rec["last_measured"]["measured_at"]
     assert len(json.dumps(rec)) < 1900
 
+    # a HANGING probe (the round-5 wedge mode: jax.devices() blocks while
+    # import succeeds) must yield the stale record FAST -- before the child
+    # is ever launched or its 2400 s timeout committed to
+    def probe_hangs(argv, **k):
+        if _is_probe(argv):
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=5)
+        raise AssertionError("child must not launch when the probe hangs")
+
+    monkeypatch.setattr(mod.subprocess, "run", probe_hangs)
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["stale"] is True and rec["value"] is None
+    assert "wedged before bench" in rec["stale_error"]
+    assert rec["last_measured"]["value"] == 1.0
+    assert len(json.dumps(rec)) < 1900
+
     # without a snapshot, failure reports value: null with the error
     cache.unlink()
 
-    def boom(*a, **k):
+    def boom(argv, **k):
+        if _is_probe(argv):
+            return ProbeOk()
         raise subprocess.TimeoutExpired(cmd="bench", timeout=5)
 
     monkeypatch.setattr(mod.subprocess, "run", boom)
