@@ -19,10 +19,18 @@ for hours (a hung remote AOT compile blocks even `import jax` in axon
 registration — docs/PERF.md "int16"); if that happens at round end, the
 driver still gets ONE parseable JSON line recording the failure instead
 of a truncated or absent record.  Every successful run also snapshots its
-headline to bench/LAST_HEADLINE.json; a wedged run emits a record with
-`"value": null, "stale": true` whose `last_measured` block carries the
-snapshot's numbers and measurement time -- informative, but impossible
-for a naive parser to mistake for a fresh result.
+headline to bench/LAST_HEADLINE.json.  On a wedge, the fallback ladder is:
+
+1. If tools.tpu_capture banked a full headline EARLIER THIS ROUND
+   (bench/capture_r{N}/headline.json, round-matched against the driver's
+   PROGRESS.jsonl), that IS the round's measurement — re-emit it with
+   `measured_this_round: true` and the banking timestamp.  A healthy
+   window earlier in the round must not be erased by a wedge at round end
+   (round 5: the backend recovered for one 42-min window mid-round).
+2. Otherwise emit `"value": null, "stale": true` whose `last_measured`
+   block carries the cross-round snapshot's numbers and measurement
+   time -- informative, but impossible for a naive parser to mistake for
+   a fresh result.
 """
 
 import json
@@ -41,6 +49,54 @@ METRIC = ("filtered Mpix/s/chip, 1080p YV12 packed full graph "
 def cache_path() -> str:
     return os.environ.get("GVCT_BENCH_CACHE",
                           os.path.join(REPO, "bench", "LAST_HEADLINE.json"))
+
+
+def progress_path() -> str:
+    return os.environ.get("GVCT_PROGRESS_PATH",
+                          os.path.join(REPO, "PROGRESS.jsonl"))
+
+
+def capture_root() -> str:
+    return os.environ.get("GVCT_CAPTURE_ROOT", os.path.join(REPO, "bench"))
+
+
+def _same_round_record(error: str):
+    """If tools.tpu_capture banked a full headline EARLIER THIS ROUND, a
+    wedge at bench time does not erase the round's measurement: re-emit the
+    banked numbers as the round's value, labeled with when and how they were
+    measured (`measured_this_round` + `banked_at`).  The round match — the
+    driver's PROGRESS.jsonl round vs the capture artifact's own `round`
+    field — is what makes this honest: a cache from a PREVIOUS round can
+    never take this path (it falls through to the stale-null record, which
+    a naive parser cannot mistake for a fresh result)."""
+    try:
+        with open(progress_path()) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        if not lines:
+            return None
+        rnd = json.loads(lines[-1]).get("round")
+        if not isinstance(rnd, int):
+            return None
+        path = os.path.join(capture_root(), f"capture_r{rnd}", "headline.json")
+        with open(path) as f:
+            blob = json.load(f)
+        if blob.get("round") != rnd:
+            return None
+        res = blob.get("result") or {}
+        if res.get("value") is None:
+            return None
+        return {
+            "metric": res.get("metric", METRIC),
+            "value": res["value"],
+            "unit": res.get("unit", "Mpix/s"),
+            "vs_baseline": res.get("vs_baseline"),
+            "measured_this_round": True,
+            "banked_at": blob.get("captured_at"),
+            "banked_by": "tools.tpu_capture",
+            "wedge_at_bench_time": error[:120],
+        }
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _child() -> None:
@@ -101,6 +157,10 @@ def main() -> None:
         probe_ok, probe_err = False, f"device probe hang (>{probe_timeout}s)"
     if not probe_ok:
         error = f"backend wedged before bench: {probe_err}"
+        banked = _same_round_record(error)
+        if banked:
+            print(json.dumps(banked))
+            return
         if os.path.exists(cache_path()):
             try:
                 with open(cache_path()) as f:
@@ -137,6 +197,10 @@ def main() -> None:
     except subprocess.TimeoutExpired:
         error = (f"bench child timed out after {timeout}s "
                  "(wedged device backend?)")
+    banked = _same_round_record(error)
+    if banked:
+        print(json.dumps(banked))
+        return
     if os.path.exists(cache_path()):
         try:
             with open(cache_path()) as f:

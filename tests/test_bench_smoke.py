@@ -130,6 +130,10 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     monkeypatch.delenv("GVCT_BENCH_CHILD", raising=False)
     cache = tmp_path / "last_headline.json"
     monkeypatch.setenv("GVCT_BENCH_CACHE", str(cache))
+    # isolate from the repo's real PROGRESS.jsonl / capture artifacts so the
+    # same-round fallback can't fire here (it gets its own test below)
+    monkeypatch.setenv("GVCT_PROGRESS_PATH", str(tmp_path / "progress.jsonl"))
+    monkeypatch.setenv("GVCT_CAPTURE_ROOT", str(tmp_path / "capt"))
 
     class ProbeOk:
         returncode = 0
@@ -199,6 +203,57 @@ def test_bench_entry_watchdog(monkeypatch, capsys, tmp_path):
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["value"] is None and "timed out" in rec["error"]
     assert len(json.dumps(rec)) < 1900
+
+
+def test_bench_entry_same_round_fallback(monkeypatch, capsys, tmp_path):
+    """A wedge at bench time must NOT erase a headline banked by
+    tools.tpu_capture earlier in the SAME round: the watchdog re-emits the
+    banked numbers with measured_this_round/banked_at (round 5: the backend
+    recovered for one mid-round window, then could wedge again before the
+    driver's end-of-round bench).  A capture from a DIFFERENT round must
+    fall through to the stale-null record."""
+    import subprocess
+
+    mod = _load_bench_entry()
+    monkeypatch.delenv("GVCT_BENCH_CHILD", raising=False)
+    monkeypatch.setenv("GVCT_BENCH_CACHE", str(tmp_path / "last.json"))
+    progress = tmp_path / "progress.jsonl"
+    monkeypatch.setenv("GVCT_PROGRESS_PATH", str(progress))
+    monkeypatch.setenv("GVCT_CAPTURE_ROOT", str(tmp_path))
+    progress.write_text('{"round": 7, "commits": 1}\n')
+    capdir = tmp_path / "capture_r7"
+    capdir.mkdir()
+    (capdir / "headline.json").write_text(json.dumps({
+        "round": 7, "captured_at": "2026-08-18T12:30:15",
+        "result": {"metric": "m", "value": 15571.7, "unit": "Mpix/s",
+                   "vs_baseline": 20.93}}))
+
+    def probe_hangs(argv, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=5)
+
+    monkeypatch.setattr(mod.subprocess, "run", probe_hangs)
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] == 15571.7 and rec["vs_baseline"] == 20.93
+    assert rec["measured_this_round"] is True
+    assert rec["banked_at"] == "2026-08-18T12:30:15"
+    assert "wedged" in rec["wedge_at_bench_time"]
+    assert len(json.dumps(rec)) < 1900
+
+    # round mismatch (stale capture from a previous round): no fallback
+    progress.write_text('{"round": 8}\n')
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] is None
+
+    # a capture whose own result is null (banked during a wedge) never
+    # becomes a value either
+    progress.write_text('{"round": 7}\n')
+    (capdir / "headline.json").write_text(json.dumps({
+        "round": 7, "result": {"value": None}}))
+    mod.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["value"] is None
 
 
 def test_bench_device_fed_smoke():
