@@ -171,11 +171,11 @@ def main() -> None:
         print(json.dumps({
             "metric": METRIC, "value": None, "unit": "Mpix/s",
             "vs_baseline": None, "error": error,
-            "last_documented": {"packed_1080p_device_us": 132.8,
-                                "mpix_s_per_chip": 15611.4,
-                                "vs_baseline": 20.98,
+            "last_documented": {"packed_1080p_device_us": 133.2,
+                                "mpix_s_per_chip": 15571.7,
+                                "vs_baseline": 20.93,
                                 "source": "docs/PERF.md headline record "
-                                          "(device traces, round 3)"}}))
+                                          "(device traces, round 5)"}}))
         return
     try:
         proc = subprocess.run(
@@ -215,10 +215,10 @@ def main() -> None:
     print(json.dumps({
         "metric": METRIC, "value": None, "unit": "Mpix/s",
         "vs_baseline": None, "error": error,
-        "last_documented": {"packed_1080p_device_us": 132.8,
-                            "mpix_s_per_chip": 15611.4, "vs_baseline": 20.98,
+        "last_documented": {"packed_1080p_device_us": 133.2,
+                            "mpix_s_per_chip": 15571.7, "vs_baseline": 20.93,
                             "source": "docs/PERF.md headline record "
-                                      "(device traces, round 3)"}}))
+                                      "(device traces, round 5)"}}))
 
 
 if __name__ == "__main__":
