@@ -148,10 +148,83 @@ def deblock_batch_sharded(
     return yo, u_paste(uo, jnp), v_paste(vo, jnp)
 
 
+def _deblock_packed_frames_local(buf3, lm, cm, beta, tc, yperms, *, w, h,
+                                 luma_only, luma_block, chroma_block,
+                                 luma_grid, inplace):
+    """Per-shard batched packed step via the FUSED relayout formulation:
+    (n, 3h/2, w) packed YV12 frames in -> same shape filtered.
+
+    This is the batched twin of the single-chip packed graph
+    (models/streaming._deblock_yv12_packed_impl): the luma region is a
+    tile-aligned leading row-slice of the 2-D packed view (free), the Q6
+    zero padding / Pallas grid padding / interior write-back all fold into
+    the one-hot relayout matmuls (utils.tiles.interior_to_tiles with a
+    leading batch dim -- the dot's M axis just grows), frames ride the
+    kernel's native leading batch axis (deblock_tiles_pallas grid dim 0)
+    with ONE shared BS map, and only the per-frame chroma retile
+    (h/2, w) <-> (2, ch, cw) is a paid copy, exactly as on one chip.
+
+    Replaces the explicit pad -> extended-plane -> interior-slice ->
+    concat formulation for the frames-parallel mesh case, whose layout
+    passes measured ~2.0 ms/frame at 4K batch 4 vs the single-chip
+    graph's 489 us (bench/capture_r5/multistream_1.json vs
+    profile_4k.json).  Pallas backend + non-sheared Q9 geometries only
+    (the caller gates); bit-exactness vs the golden oracle is enforced by
+    tests/test_multistream.py."""
+    from ..ops.pallas_kernel import deblock_tiles_pallas
+    from ..utils.tiles import interior_to_tiles, tiles_to_interior
+
+    p = HALF_BLOCK
+    cw, ch = w // 2, h // 2
+    n = buf3.shape[0]
+    fwd, inv, cfwd, cinv = yperms
+    byg, bxg = luma_grid
+    y = buf3[:, :h]  # (n, h, w): tile-aligned leading row slice, no copy
+    yt = interior_to_tiles(y, p, perm=fwd, by_grid=byg, bx_grid=bxg)
+    lm3 = [m[None] for m in lm]  # one shared map across the frame batch
+    y_out = deblock_tiles_pallas(yt, *lm3, beta, tc, chroma=False,
+                                 block_by=luma_block[0],
+                                 block_bx=luma_block[1])
+    y_int = tiles_to_interior(y_out, p, h, w, perm=inv)  # (n, h, w)
+    parts = [(0, y_int)]
+    if not luma_only:
+        from ..models.streaming import _chroma_grid_bx
+
+        cbxg = _chroma_grid_bx(w, chroma_block)
+        uv = buf3[:, h:].reshape(n, 2, ch, cw)  # per-frame chroma retile
+        uvt = interior_to_tiles(uv, p, perm=cfwd, bx_grid=cbxg)
+        cm3 = [m[None] for m in cm]  # shared across frames AND U/V
+        uv_out = deblock_tiles_pallas(uvt.reshape(n * 2, *uvt.shape[2:]),
+                                      *cm3, beta, tc, chroma=True,
+                                      block_by=chroma_block[0],
+                                      block_bx=chroma_block[1])
+        uv_int = tiles_to_interior(uv_out.reshape(n, 2, *uv_out.shape[1:]),
+                                   p, ch, cw, perm=cinv)  # (n, 2, ch, cw)
+        parts.append((h, uv_int.reshape(n, h // 2, w)))
+    # batched _pack_out (models/streaming): row offsets index axis 1
+    if inplace:
+        out = buf3
+        for off, seg in parts:
+            out = jax.lax.dynamic_update_slice(out, seg, (0, off, 0))
+        return out
+    segs, pos = [], 0
+    for off, seg in parts:
+        if off > pos:
+            segs.append(buf3[:, pos:off])
+        segs.append(seg)
+        pos = off + seg.shape[1]
+    if pos < buf3.shape[1]:
+        segs.append(buf3[:, pos:])
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
 def deblock_packed_batch_sharded(mesh, buf, luma_maps, chroma_maps, beta, tc,
-                                 *, w, h, luma_only=False, backend="jnp"):
-    """Packed sharded full graph: (N, 3wh/2) raw YV12 batch in -> filtered
-    (N, 3wh/2) batch out, everything between the DMAs on device.
+                                 yperms=None, *, w, h, luma_only=False,
+                                 backend="jnp", luma_block=None,
+                                 chroma_block=None, luma_grid=None):
+    """Packed sharded full graph: (N, 3h/2, w) raw YV12 batch in (the 2-D
+    per-frame packed view -- same bytes as the flat file order) -> filtered
+    (N, 3h/2, w) batch out, everything between the DMAs on device.
 
     This is the mesh twin of the single-chip packed graph
     (models/streaming._deblock_yv12_packed_impl): plane split, Q6 zero
@@ -161,48 +234,89 @@ def deblock_packed_batch_sharded(mesh, buf, luma_maps, chroma_maps, beta, tc,
     never the ~1.35x extended planes, and never a host-side np.pad.  The
     reference's pinned-memory copies (gpu.cu:1248-1256) shipped extended
     planes per frame; ours ships the minimal transfer, like everywhere
-    else in this repo.  Pad/reshape/slice are per-frame elementwise over
-    the batch, so GSPMD carries the batch sharding through to the
-    shard_map'ed filter and back."""
+    else in this repo.
+
+    Two formulations:
+    * frames-parallel FAST path (pallas backend, non-sheared Q9 geometry,
+      N a multiple of the device count, relayout perms supplied): frames
+      shard over the flattened ("data", "spatial") axes and each device
+      runs _deblock_packed_frames_local -- the fused-relayout single-chip
+      formulation with a leading batch dim.  Steady state has ZERO
+      collectives (whole frames never leave their chip).
+    * fallback (jnp backend, sheared geometries, or N not divisible):
+      explicit pads to extended planes + the tile-row-slab sharded filter
+      (deblock_batch_sharded) + interior slicing.  Correct everywhere;
+      pays the extended-plane layout passes the fast path folds away."""
     p = HALF_BLOCK
     cw, ch = w // 2, h // 2
     n = buf.shape[0]
+    ndev = mesh.devices.size
+    chroma_fused = (cw + 2 * p) % _B == 0
+    fast = (backend == "pallas" and yperms is not None
+            and luma_grid is not None and n % ndev == 0
+            and (chroma_fused or luma_only))
+    if fast:
+        spec = P(("data", "spatial"), None, None)
+        local = functools.partial(
+            _deblock_packed_frames_local, w=w, h=h, luma_only=luma_only,
+            luma_block=luma_block, chroma_block=chroma_block,
+            luma_grid=luma_grid, inplace=True)
+        fn = jax.shard_map(local, mesh=mesh,
+                           in_specs=(spec, P(), P(), P(), P(), P()),
+                           out_specs=spec, check_vma=False)
+        return fn(buf, tuple(luma_maps), tuple(chroma_maps), beta, tc,
+                  tuple(yperms))
     pad = ((0, 0), (p, p), (p, p))
-    y = jnp.pad(buf[:, : w * h].reshape(n, h, w), pad)
-    u = jnp.pad(buf[:, w * h : w * h + cw * ch].reshape(n, ch, cw), pad)
-    v = jnp.pad(buf[:, w * h + cw * ch :].reshape(n, ch, cw), pad)
+    q = h + h // 4
+    y = jnp.pad(buf[:, :h], pad)
+    u = jnp.pad(buf[:, h:q].reshape(n, ch, cw), pad)
+    v = jnp.pad(buf[:, q:].reshape(n, ch, cw), pad)
     yo, uo, vo = deblock_batch_sharded(mesh, y, u, v, luma_maps, chroma_maps,
                                        beta, tc, luma_only=luma_only,
                                        backend=backend)
     return jnp.concatenate([
-        yo[:, p : p + h, p : p + w].reshape(n, h * w),
-        uo[:, p : p + ch, p : p + cw].reshape(n, ch * cw),
-        vo[:, p : p + ch, p : p + cw].reshape(n, ch * cw),
-    ], axis=-1)
+        yo[:, p : p + h, p : p + w],
+        uo[:, p : p + ch, p : p + cw].reshape(n, h // 4, w),
+        vo[:, p : p + ch, p : p + cw].reshape(n, h // 4, w),
+    ], axis=1)
 
 
 @functools.lru_cache(maxsize=32)
 def _packed_sharded_jit(mesh: Mesh, w: int, h: int, luma_only: bool,
-                        backend: str):
-    return jax.jit(functools.partial(deblock_packed_batch_sharded, mesh,
-                                     w=w, h=h, luma_only=luma_only,
-                                     backend=backend))
+                        backend: str, luma_block, chroma_block, luma_grid,
+                        donate: bool):
+    f = functools.partial(deblock_packed_batch_sharded, mesh,
+                          w=w, h=h, luma_only=luma_only, backend=backend,
+                          luma_block=luma_block, chroma_block=chroma_block,
+                          luma_grid=luma_grid)
+    # donate=True (TPU callers feeding fresh per-step ingest buffers):
+    # the fast path's in-place segment writes alias output to input, so
+    # the output concat pass disappears, like StreamingDeblocker._step
+    return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
 def deblock_packed_batch_sharded_jit(mesh, buf, *args, w, h, luma_only=False,
-                                     backend="jnp"):
+                                     backend="jnp", luma_block=None,
+                                     chroma_block=None, luma_grid=None,
+                                     donate=False):
     """jit-wrapped packed sharded graph (compiles once per geometry/mesh)."""
-    return _packed_sharded_jit(mesh, w, h, luma_only, backend)(buf, *args)
+    return _packed_sharded_jit(mesh, w, h, luma_only, backend, luma_block,
+                               chroma_block, luma_grid, donate)(buf, *args)
 
 
-def packed_batch_sharding(mesh: Mesh, frame_bytes: int) -> NamedSharding:
-    """Input sharding for a packed (N, frame_bytes) batch: frames across
-    "data", and frame BYTES across "spatial" when it exists and divides --
-    so the total host->HBM volume is exactly the packed bytes (each byte
-    lands on one chip; GSPMD redistributes byte slabs into tile-row slabs
-    over ICI, which is orders of magnitude faster than the host wire)."""
-    if "spatial" in mesh.shape and frame_bytes % mesh.shape["spatial"] == 0:
-        return NamedSharding(mesh, P("data", "spatial"))
+def packed_batch_sharding(mesh: Mesh, n_frames: int, h: int) -> NamedSharding:
+    """Input sharding for a packed (N, 3h/2, w) batch: whole frames across
+    the flattened device grid when N divides it (the frames-parallel fast
+    path -- each frame's bytes land on exactly the chip that filters them,
+    zero steady-state traffic); otherwise frames across "data" with packed
+    ROWS across "spatial" when that divides -- the total host->HBM volume
+    is exactly the packed bytes either way (each byte lands on one chip;
+    GSPMD redistributes row slabs into tile-row slabs over ICI, which is
+    orders of magnitude faster than the host wire)."""
+    if n_frames % mesh.devices.size == 0:
+        return NamedSharding(mesh, P(("data", "spatial"), None, None))
+    if "spatial" in mesh.shape and (3 * h // 2) % mesh.shape["spatial"] == 0:
+        return NamedSharding(mesh, P("data", "spatial", None))
     return NamedSharding(mesh, P("data"))
 
 

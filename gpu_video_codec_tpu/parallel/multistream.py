@@ -2,11 +2,14 @@
 
 Wraps parallel/mesh.py's PACKED sharded graph in a streaming interface: N
 concurrent YV12 streams (e.g. N cameras or N transcode jobs) are zipped into
-per-step (N, 3wh/2) packed batches, shipped host->HBM as ONE DMA per step
-(frames across the "data" axis, frame bytes across "spatial" -- the wire
-carries exactly the packed bytes), then split/padded/filtered/repacked
-entirely on device (frames over "data", tile-row slabs over "spatial") and
-returned per stream.  Copy/compute overlap matches the single-chip pipeline:
+per-step (N, 3h/2, w) packed batches (the 2-D per-frame packed view -- same
+bytes as the flat file order), shipped host->HBM as ONE DMA per step (the
+wire carries exactly the packed bytes), then split/padded/filtered/repacked
+entirely on device and returned per stream.  When N divides the device
+count (pallas backend, non-sheared Q9 geometry) whole frames shard over the
+flattened device grid and each chip runs the fused-relayout single-chip
+packed formulation on its local frame batch -- zero steady-state
+collectives; otherwise frames ride "data" and tile-row slabs "spatial".  Copy/compute overlap matches the single-chip pipeline:
 run() keeps `depth` batches in flight through JAX's async dispatch queue, so
 batch i+1's host prep + H2D proceed under batch i's kernels and only the
 oldest batch is drained per step (steady state = max(copy, compute) per
@@ -31,7 +34,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import deblock_packed_batch_sharded_jit, packed_batch_sharding
-from ..ops.tables import get_beta, get_tc
+from ..ops.pallas_kernel import BLOCK_BX, BLOCK_BY, CHROMA_BLOCK
+from ..ops.tables import HALF_BLOCK, SAMPLE_BLOCK_SIZE, get_beta, get_tc
 from ..utils.bs import BoundaryStrength, chroma_segment_maps, luma_segment_maps
 from ..utils.yuv import check_dims
 
@@ -67,7 +71,38 @@ class MultiStreamDeblocker:
             bs or BoundaryStrength.intra_default(width, height))
         self._beta = jax.device_put(jnp.int32(get_beta(qp)), rep)
         self._tc = jax.device_put(jnp.int32(get_tc(qp)), rep)
-        self._in_sharding = packed_batch_sharding(mesh, self.frame_bytes)
+        self._in_sharding = packed_batch_sharding(mesh, n_streams, height)
+        # frames-parallel fast path (mesh.deblock_packed_batch_sharded):
+        # pallas + non-sheared Q9 + N divisible by the device count -- the
+        # fused-relayout single-chip formulation with a leading batch dim.
+        # Perms live replicated in HBM once (as closure constants XLA would
+        # regenerate the multi-MB matrices on device each step).
+        self._luma_block = (BLOCK_BY, BLOCK_BX)
+        self._chroma_block = CHROMA_BLOCK
+        chroma_fused = ((width // 2 + 2 * HALF_BLOCK) % SAMPLE_BLOCK_SIZE == 0
+                        and not luma_only)
+        self._frames_fast = (backend == "pallas"
+                             and (chroma_fused or luma_only)
+                             and n_streams % mesh.devices.size == 0)
+        if self._frames_fast:
+            from ..models.streaming import _chroma_grid_bx, luma_grid_shape
+            from ..utils.tiles import tile_perm_device
+
+            self._luma_grid = luma_grid_shape(width, height, self._luma_block)
+            bxg = self._luma_grid[1]
+            perms = [tile_perm_device(width, HALF_BLOCK, False, bxg),
+                     tile_perm_device(width, HALF_BLOCK, True, bxg)]
+            if chroma_fused:
+                cbxg = _chroma_grid_bx(width, self._chroma_block)
+                perms += [tile_perm_device(width // 2, HALF_BLOCK, False, cbxg),
+                          tile_perm_device(width // 2, HALF_BLOCK, True, cbxg)]
+            else:
+                perms += [None, None]
+            self._yperms = jax.tree.map(lambda a: jax.device_put(a, rep),
+                                        tuple(perms))
+        else:
+            self._luma_grid = None
+            self._yperms = None
 
     def update_boundary_strength(self, bs: BoundaryStrength) -> None:
         """Install new BS arrays mesh-wide mid-stream (the SetBoundaryStrenght
@@ -81,10 +116,14 @@ class MultiStreamDeblocker:
                          for m in chroma_segment_maps(bs))
 
     def _stack(self, raws: Sequence) -> np.ndarray:
-        """Validate and stack N packed frames to one (N, 3wh/2) buffer --
-        no plane splitting and NO padding on the host (both happen on
-        device inside the sharded jit, parallel/mesh.py
-        deblock_packed_batch_sharded)."""
+        """Validate and stack N packed frames to one (N, 3h/2, w) buffer
+        (the 2-D per-frame packed view -- same bytes as the flat file
+        order; a host-side reshape of the stacked rows, no copy beyond the
+        stack itself) -- no plane splitting and NO padding on the host
+        (both happen on device inside the sharded jit, parallel/mesh.py
+        deblock_packed_batch_sharded).  The 2-D view matters on TPU: a
+        1-D buffer carries 1-D tiling, making every later 1-D <-> 2-D
+        reshape a retiling copy (models/streaming, same contract)."""
         rows = []
         for raw in raws:
             arr = (np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray))
@@ -92,7 +131,7 @@ class MultiStreamDeblocker:
             if arr.size != self.frame_bytes:
                 raise ValueError(f"frame must be {self.frame_bytes} bytes, got {arr.size}")
             rows.append(arr)
-        return np.stack(rows)
+        return np.stack(rows).reshape(self.n, 3 * self.height // 2, self.width)
 
     def _dispatch(self, raws: Sequence):
         """Enqueue one sharded batch WITHOUT draining: ONE packed H2D (frames
@@ -104,14 +143,23 @@ class MultiStreamDeblocker:
         buf = jax.device_put(self._stack(raws), self._in_sharding)
         return deblock_packed_batch_sharded_jit(
             self.mesh, buf, self._lm, self._cm, self._beta, self._tc,
+            self._yperms,
             w=self.width, h=self.height,
             luma_only=self.luma_only, backend=self.backend,
+            luma_block=self._luma_block, chroma_block=self._chroma_block,
+            luma_grid=self._luma_grid,
+            # fresh per-step ingest buffer: donate on TPU so the fast
+            # path's in-place segment writes alias output to input (the
+            # fallback's concat output can't alias -- skip the donation
+            # warning there)
+            donate=self._frames_fast and jax.default_backend() == "tpu",
         )
 
     def _drain(self, handle) -> list[np.ndarray]:
-        """Block on one in-flight batch: a single packed (N, 3wh/2) D2H."""
+        """Block on one in-flight batch: a single packed (N, 3wh/2) D2H
+        (flat per-stream views of the (N, 3h/2, w) device buffer)."""
         out = jax.device_get(handle)
-        return [out[i] for i in range(self.n)]
+        return [out[i].reshape(-1) for i in range(self.n)]
 
     def step(self, raws: Sequence) -> list[np.ndarray]:
         """One synchronous sharded batch step: one frame per stream in,

@@ -96,6 +96,65 @@ def test_multistream_update_boundary_strength(rng):
                for a, b in zip(ms.step(raws), out_default))
 
 
+def test_multistream_frames_fast_path(rng):
+    """Frames-parallel fast path (pallas backend, non-sheared geometry,
+    n_streams divisible by the device count): whole frames shard over the
+    flattened 8-device grid and each device runs the fused-relayout
+    single-chip packed formulation (mesh._deblock_packed_frames_local).
+    Must be bit-exact vs the golden oracle on every frame."""
+    w, h, qp = 64, 48, 35  # cw+16 = 48, 8-aligned -> non-sheared Q9
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 8, w, h, qp, backend="pallas")
+    assert ms._frames_fast, "fast-path gate should engage for this config"
+    raws = [_raw(rng, w, h) for _ in range(8)]
+    outs = ms.step(raws)
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, outs):
+        gold = deblock_frame_golden(planes_from_yv12_bytes(raw.tobytes(), w, h), bs, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+def test_multistream_fast_path_local_batch(rng):
+    """Fast path with a LOCAL batch > 1 (more streams than devices: 1x1
+    mesh, 4 streams -- the measured bench_multistream_1chip shape): the
+    batched relayout dots / kernel leading-batch axis / in-place repack
+    must stay bit-exact, including a mid-stream BS swap (maps are step
+    arguments, no recompile)."""
+    w, h, qp = 64, 48, 35
+    mesh = make_mesh(1, 1)
+    ms = MultiStreamDeblocker(mesh, 4, w, h, qp, backend="pallas")
+    assert ms._frames_fast
+    raws = [(np.arange(3 * w * h // 2, dtype=np.int64) // w % 256
+             + rng.integers(-3, 4, 3 * w * h // 2)).astype(np.uint8)
+            for _ in range(4)]
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, ms.step(raws)):
+        gold = deblock_frame_golden(planes_from_yv12_bytes(raw.tobytes(), w, h), bs, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+    custom = BoundaryStrength.intra_default(w, h)
+    custom.vert[:] = 0
+    ms.update_boundary_strength(custom)
+    for raw, out in zip(raws, ms.step(raws)):
+        gold = deblock_frame_golden(planes_from_yv12_bytes(raw.tobytes(), w, h), custom, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
+def test_multistream_pallas_sheared_falls_back(rng):
+    """Sheared Q9 geometry (56x72: ext chroma width 44 not 8-aligned) must
+    NOT take the fused fast path, and the fallback must stay bit-exact
+    under the pallas backend."""
+    w, h, qp = 56, 72, 35
+    mesh = make_mesh(2, 4)
+    ms = MultiStreamDeblocker(mesh, 8, w, h, qp, backend="pallas")
+    assert not ms._frames_fast
+    raws = [_raw(rng, w, h) for _ in range(8)]
+    outs = ms.step(raws)
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, outs):
+        gold = deblock_frame_golden(planes_from_yv12_bytes(raw.tobytes(), w, h), bs, qp)
+        assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
+
+
 def test_multistream_q9_geometry(rng):
     w, h, qp = 56, 72, 35
     mesh = make_mesh(2, 4)
