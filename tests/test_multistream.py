@@ -139,6 +139,25 @@ def test_multistream_fast_path_local_batch(rng):
         assert np.array_equal(out, np.frombuffer(yv12_bytes_from_planes(gold), np.uint8))
 
 
+def test_multistream_fast_path_luma_only(rng):
+    """luma_only engages the fast path with no chroma perms: luma filters
+    bit-exact, chroma bytes pass through untouched."""
+    w, h, qp = 64, 48, 35
+    mesh = make_mesh(1, 1)
+    ms = MultiStreamDeblocker(mesh, 2, w, h, qp, backend="pallas",
+                              luma_only=True)
+    assert ms._frames_fast
+    raws = [_raw(rng, w, h) for _ in range(2)]
+    bs = BoundaryStrength.intra_default(w, h)
+    for raw, out in zip(raws, ms.step(raws)):
+        gold = deblock_frame_golden(
+            planes_from_yv12_bytes(raw.tobytes(), w, h), bs, qp,
+            luma_only=True)
+        assert np.array_equal(out, np.frombuffer(
+            yv12_bytes_from_planes(gold), np.uint8))
+        assert np.array_equal(out[w * h:], raw[w * h:])  # chroma untouched
+
+
 def test_multistream_pallas_sheared_falls_back(rng):
     """Sheared Q9 geometry (56x72: ext chroma width 44 not 8-aligned) must
     NOT take the fused fast path, and the fallback must stay bit-exact
