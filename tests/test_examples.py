@@ -14,6 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.slow
 @pytest.mark.parametrize("name", [
     "one_shot", "streaming", "resident_chain", "mesh_streams",
+    "multi_stream",
 ])
 def test_example_runs_and_self_verifies(name):
     env = dict(os.environ)
